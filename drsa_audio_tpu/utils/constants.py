@@ -1,0 +1,75 @@
+"""Case constants and LRP rule name-maps.
+
+TPU-native re-implementation of the reference constants module
+(see reference cxai/utils/constants.py:3-51). Rule maps here are plain data —
+(layer-name pattern, rule spec) pairs — consumed by the functional LRP engine
+in :mod:`drsa_audio_tpu.xai.lrp` instead of zennit hook objects.
+"""
+
+from __future__ import annotations
+
+CLASS_IDX_MAPPER = {
+    "pop": 0,
+    "metal": 1,
+    "disco": 2,
+    "blues": 3,
+    "reggae": 4,
+    "classical": 5,
+    "rock": 6,
+    "hiphop": 7,
+    "country": 8,
+    "jazz": 9,
+}
+
+CLASS_IDX_MAPPER_TOY = {"class1": 0, "class2": 1}
+
+# Per-case DSP parameters (reference constants.py:7-24).
+AUDIO_PARAMS = {
+    "gtzan": {
+        "sample_rate": 16000,
+        "slice_length": 3,
+        "num_chunks": 8,
+        "n_fft": 800,
+        "hop_length": 360,
+        "n_mels": 128,
+        "mel_width": 128,
+    },
+    "toy": {
+        "sample_rate": 16000,
+        "slice_length": 1,   # toy clips are exactly one second; no slicing
+        "num_chunks": 1,
+        "n_fft": 480,
+        "hop_length": 240,
+        "n_mels": 64,
+        "mel_width": 64,
+    },
+}
+
+# LRP rule name-maps. Each entry: (layer_name, (rule_name, kwargs)).
+# Mirrors reference constants.py:27-51 (zennit rule objects -> plain specs).
+LRP_NAME_MAP_GTZAN = [
+    ("features.0", ("wsquare", {"stabilizer": 1e-7})),
+    ("features.3", ("gamma", {"gamma": 0.4, "stabilizer": 1e-7})),
+    ("features.6", ("gamma", {"gamma": 0.4, "stabilizer": 1e-7})),
+    ("features.9", ("gamma", {"gamma": 0.4 / 2, "stabilizer": 1e-7})),
+    ("features.12", ("gamma", {"gamma": 0.4 / 4, "stabilizer": 1e-7})),
+    ("classifier.0", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.3", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.6", ("epsilon", {"epsilon": 1e-7})),
+]
+
+LRP_NAME_MAP_TOY = [
+    ("features.0", ("flat", {"stabilizer": 1e-7})),
+    ("features.3", ("gamma", {"gamma": 0.8, "stabilizer": 1e-7})),
+    ("features.6", ("gamma", {"gamma": 0.8, "stabilizer": 1e-7})),
+    ("features.9", ("gamma", {"gamma": 0.8, "stabilizer": 1e-7})),
+    ("features.12", ("gamma", {"gamma": 0.8, "stabilizer": 1e-7})),
+    ("classifier.0", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.2", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.4", ("epsilon", {"epsilon": 1e-7})),
+]
+
+# Subspace dimensionality of the standard 5-block nets at insertion layers
+# [1, 4, 7, 10, 13] (reference cpf.py:260,312).
+SUBSPACE_DIMS_GTZAN = [32, 32, 64, 64, 128]
+SUBSPACE_DIMS_TOY = [8, 8, 16, 16, 16]

@@ -1,0 +1,196 @@
+"""LRP rules as functional modified-backward primitives.
+
+Each rule takes the layer's *linear apply factory* — a function
+``apply_with(w_mod, b_mod) -> (x -> z)`` that rebuilds the layer forward with
+modified parameters — plus the recorded input activation and incoming
+relevance, and returns the relevance redistributed to the layer input.
+
+The algebra matches zennit 0.5.1 rule semantics (the library the reference
+drives its attribution with — reference cxai/utils/constants.py:27-51,
+cxai/xai/pixelflipping/pf.py:18-27):
+
+  epsilon    R_in = x * vjp(R / stab(f(x)))
+  zplus      two-term positive/negative input split with clamped params
+  gamma      generalized gamma: 4 clamp combinations gated by output sign
+  wsquare    z = f(1; w^2, b^2); R_in = vjp(R / stab(z))
+  flat       z = f(1; 1, 0);     R_in = vjp(R / stab(z))
+  alphabeta  alpha * positive part - beta * negative part
+  norm       R_in = x * vjp(R / stab(f(x; w, 0)))
+  pass       identity
+
+Every rule is pure and jit/vmap-compatible; the backward of the modified
+forward is obtained with jax.vjp (for convs XLA emits conv_transpose).
+LRP backward is linear in R given fixed activations — a property the
+subspace-heatmap fast path exploits (see engine.generate_subspace_heatmaps).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# apply_with(w_mod, b_mod) -> forward function of the layer with params
+# transformed by w_mod and b_mod (b_mod may return None to drop the bias).
+ApplyFactory = Callable[[Callable, Callable | None], Callable]
+
+
+def stabilize(z: jnp.ndarray, epsilon: float) -> jnp.ndarray:
+    """z + eps * sign(z), with sign(0) := +1 (zennit Stabilizer)."""
+    sign = jnp.where(z >= 0, 1.0, -1.0)
+    return z + sign * epsilon
+
+
+def _identity(p):
+    return p
+
+
+def _zero(p):
+    return jnp.zeros_like(p)
+
+
+def _pos(p):
+    return jnp.maximum(p, 0.0)
+
+
+def _neg(p):
+    return jnp.minimum(p, 0.0)
+
+
+def lrp_epsilon(apply_with: ApplyFactory, x, R, *, epsilon: float = 1e-6, **_):
+    f = apply_with(_identity, _identity)
+    z, vjp = jax.vjp(f, x)
+    (c,) = vjp(R / stabilize(z, epsilon))
+    return x * c
+
+
+def lrp_norm(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
+    f = apply_with(_identity, _zero)
+    z, vjp = jax.vjp(f, x)
+    (c,) = vjp(R / stabilize(z, stabilizer))
+    return x * c
+
+
+def lrp_zplus(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    f1 = apply_with(_pos, _pos)           # (x+, w+, b+)
+    f2 = apply_with(_neg, _zero)          # (x-, w-, 0)
+    z1, vjp1 = jax.vjp(f1, xp)
+    z2, vjp2 = jax.vjp(f2, xn)
+    s = R / stabilize(z1 + z2, stabilizer)
+    (c1,) = vjp1(s)
+    (c2,) = vjp2(s)
+    return xp * c1 + xn * c2
+
+
+def lrp_gamma(apply_with: ApplyFactory, x, R, *, gamma: float = 0.25,
+              stabilizer: float = 1e-6, **_):
+    """Generalized gamma rule (zennit 0.5.1): handles negative inputs and
+    negative outputs via four clamp combinations gated by the true output
+    sign."""
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+
+    def gmod_pos(p):
+        return p + gamma * jnp.maximum(p, 0.0)
+
+    def gmod_neg(p):
+        return p + gamma * jnp.minimum(p, 0.0)
+
+    f1 = apply_with(gmod_pos, gmod_pos)   # (x+, w + g*w+, b + g*b+)
+    f2 = apply_with(gmod_neg, gmod_neg)   # (x-, w + g*w-, b + g*b-)
+    f3 = apply_with(gmod_neg, _zero)      # (x+, w + g*w-, 0)
+    f4 = apply_with(gmod_pos, _zero)      # (x-, w + g*w+, 0)
+    f_true = apply_with(_identity, _identity)
+
+    z1, vjp1 = jax.vjp(f1, xp)
+    z2, vjp2 = jax.vjp(f2, xn)
+    z3, vjp3 = jax.vjp(f3, xp)
+    z4, vjp4 = jax.vjp(f4, xn)
+    z_true = f_true(x)
+
+    pos_mask = (z_true > 0.0).astype(R.dtype)
+    neg_mask = (z_true < 0.0).astype(R.dtype)
+    s_pos = R * pos_mask / stabilize(z1 + z2, stabilizer)
+    s_neg = R * neg_mask / stabilize(z3 + z4, stabilizer)
+
+    (c1,) = vjp1(s_pos)
+    (c2,) = vjp2(s_pos)
+    (c3,) = vjp3(s_neg)
+    (c4,) = vjp4(s_neg)
+    return xp * c1 + xn * c2 + xp * c3 + xn * c4
+
+
+def lrp_wsquare(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
+    def sq(p):
+        return p * p
+    f = apply_with(sq, sq)
+    ones = jnp.ones_like(x)
+    z, vjp = jax.vjp(f, ones)
+    (c,) = vjp(R / stabilize(z, stabilizer))
+    return c
+
+
+def lrp_flat(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
+    def ones_mod(p):
+        return jnp.ones_like(p)
+    f = apply_with(ones_mod, _zero)
+    ones = jnp.ones_like(x)
+    z, vjp = jax.vjp(f, ones)
+    (c,) = vjp(R / stabilize(z, stabilizer))
+    return c
+
+
+def lrp_alphabeta(apply_with: ApplyFactory, x, R, *, alpha: float = 2.0,
+                  beta: float = 1.0, stabilizer: float = 1e-6, **_):
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    f1 = apply_with(_pos, _pos)           # (x+, w+, b+)
+    f2 = apply_with(_neg, _zero)          # (x-, w-, 0)
+    f3 = apply_with(_neg, _neg)           # (x+, w-, b-)
+    f4 = apply_with(_pos, _zero)          # (x-, w+, 0)
+
+    z1, vjp1 = jax.vjp(f1, xp)
+    z2, vjp2 = jax.vjp(f2, xn)
+    z3, vjp3 = jax.vjp(f3, xp)
+    z4, vjp4 = jax.vjp(f4, xn)
+
+    s_a = R / stabilize(z1 + z2, stabilizer)
+    s_b = R / stabilize(z3 + z4, stabilizer)
+    (c1,) = vjp1(s_a)
+    (c2,) = vjp2(s_a)
+    (c3,) = vjp3(s_b)
+    (c4,) = vjp4(s_b)
+    return alpha * (xp * c1 + xn * c2) - beta * (xp * c3 + xn * c4)
+
+
+def lrp_pass(apply_with: ApplyFactory, x, R, **_):
+    return R
+
+
+def lrp_subspace_mask(apply_with: ApplyFactory, x, R, *, num_concepts: int = 4, **_):
+    """SubspaceHook equivalent (reference cxai/xai/explain/attribute.py:42-60).
+
+    Input batch is repeated (K+1) per instance; R has shape
+    [batch*(K+1), n, K, d_k]. Clone 0 keeps everything (standard heatmap);
+    clone k keeps only subspace k.
+    """
+    k = num_concepts
+    b_total, n, kk, d_k = R.shape
+    R = R.reshape(-1, k + 1, n, kk, d_k)
+    eye = jnp.eye(k, dtype=R.dtype)[None, :, None, :, None]
+    masked = R[:, 1:] * eye
+    R = jnp.concatenate([R[:, :1], masked], axis=1)
+    return R.reshape(b_total, n, kk, d_k)
+
+
+RULES = {
+    "epsilon": lrp_epsilon,
+    "gamma": lrp_gamma,
+    "zplus": lrp_zplus,
+    "alphabeta": lrp_alphabeta,
+    "flat": lrp_flat,
+    "wsquare": lrp_wsquare,
+    "norm": lrp_norm,
+    "pass": lrp_pass,
+    "subspace_mask": lrp_subspace_mask,
+}
