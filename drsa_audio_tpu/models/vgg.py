@@ -334,9 +334,10 @@ def gtzan_3s_config() -> VGGConfig:
 def toy_config() -> VGGConfig:
     """Toy 2-class model: 5 blocks on 64x64 mels, dims [8,8,16,16,16]
     (reference cpf.py:260 toy dims)."""
+    # dropout=0 so the classifier names land at 0/2/4 as LRP_NAME_MAP_TOY expects
     return VGGConfig(
         n_filters=(8, 8, 16, 16, 16), n_dense=32,
-        pool_kernels=((2, 2),) * 5, dropout=0.2, input_size=(64, 64),
+        pool_kernels=((2, 2),) * 5, dropout=0.0, input_size=(64, 64),
         n_classes=2, conv_bn=False, dense_bn=False, block_depth=1,
         dense_depth=2,
     )

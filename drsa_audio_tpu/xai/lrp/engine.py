@@ -1,0 +1,221 @@
+"""Functional LRP attribution engine.
+
+Replaces the reference's zennit hook machinery (cxai/xai/explain/attribute.py,
+explainer.py) with a *function interpreter*: the model is an explicit layer
+list (drsa_audio_tpu.models.vgg); the forward pass records each layer's input;
+the backward pass walks the list in reverse applying per-layer rules. Layers
+without a mapped rule propagate relevance through the plain vjp of their
+forward at the recorded input — exactly what an unmapped module does under
+zennit (ReLU gating, MaxPool winner-take-all routing, reshape for flatten).
+
+Everything is pure and jit/vmap/pjit-compatible; one compiled program yields
+the input heatmap AND any requested intermediate (activation, relevance)
+pairs — the `retain_grad` dance of the reference (preprocessing.py:92-176)
+becomes a return value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from drsa_audio_tpu.models.vgg import (
+    LayerSpec,
+    apply_layer,
+    conv2d_same,
+)
+from drsa_audio_tpu.xai.lrp.rules import RULES
+
+
+@dataclasses.dataclass(frozen=True)
+class Composite:
+    """Maps layer names to rule specs: {name: (rule_name, kwargs)}.
+
+    Equivalent of a zennit NameMapComposite. Use
+    drsa_audio_tpu.models.vgg.fold_batchnorm for the SequentialMergeBatchNorm
+    canonizer before attribution.
+    """
+    name_map: tuple  # tuple of (layer_name, (rule_name, kwargs-dict))
+
+    def rule_for(self, name: str):
+        for pattern, rule in self.name_map:
+            if pattern == name:
+                return rule
+        return None
+
+    @classmethod
+    def from_list(cls, name_map) -> "Composite":
+        return cls(tuple((n, (r, dict(kw))) for n, (r, kw) in name_map))
+
+
+def layer_map_composite(
+    specs: Sequence[LayerSpec],
+    conv_rule,
+    dense_rule,
+    first_layer_rule=None,
+) -> Composite:
+    """SpecialFirstLayerMapComposite equivalent (reference pf.py:230-238):
+    assign ``conv_rule`` to every conv, ``dense_rule`` to every linear, and
+    optionally ``first_layer_rule`` to the first conv."""
+    name_map = []
+    first_conv = True
+    for spec in specs:
+        if spec.kind == "conv":
+            if first_conv and first_layer_rule is not None:
+                name_map.append((spec.name, first_layer_rule))
+            else:
+                name_map.append((spec.name, conv_rule))
+            first_conv = False
+        elif spec.kind == "linear":
+            name_map.append((spec.name, dense_rule))
+    return Composite.from_list(name_map)
+
+
+def _apply_factory(spec: LayerSpec, params: dict):
+    """Build apply_with(w_mod, b_mod) for a parameterized linear layer."""
+    if spec.kind == "conv":
+        p = params[spec.name]
+
+        def apply_with(w_mod, b_mod):
+            w = w_mod(p["w"])
+            b = b_mod(p["b"]) if (b_mod is not None and "b" in p) else None
+            return lambda x: conv2d_same(x, w, b)
+
+        return apply_with
+    if spec.kind == "linear":
+        p = params[spec.name]
+
+        def apply_with(w_mod, b_mod):
+            w = w_mod(p["w"])
+            b = b_mod(p["b"]) if b_mod is not None else jnp.zeros_like(p["b"])
+            return lambda x: x @ w.T + b
+
+        return apply_with
+    if spec.kind in ("projection", "invprojection"):
+        # Parameterless bilinear layers: the 'weight' is U (static in config).
+        U = spec.config["U"]
+        k = spec.config["num_concepts"]
+        from drsa_audio_tpu.models.projection import (
+            apply_projection_with,
+            apply_inv_projection_with,
+        )
+        builder = (
+            apply_projection_with if spec.kind == "projection"
+            else apply_inv_projection_with
+        )
+
+        def apply_with(w_mod, b_mod):
+            return builder(w_mod(U), k)
+
+        return apply_with
+    raise ValueError(f"no apply factory for layer kind {spec.kind}")
+
+
+_RULE_LAYERS = ("conv", "linear", "projection", "invprojection", "subspacefilter")
+
+
+def lrp(
+    specs: Sequence[LayerSpec],
+    params: dict,
+    x: jnp.ndarray,
+    composite: Composite,
+    output_relevance: Callable[[jnp.ndarray], jnp.ndarray],
+    capture: Sequence[str] = (),
+):
+    """Run LRP: forward recording activations, modified backward.
+
+    Args:
+        specs/params: the model.
+        x: input batch [b, c, h, w].
+        composite: name -> rule mapping.
+        output_relevance: maps logits -> initial output relevance
+            (lrp_output_modifier semantics, reference attribute.py:111-161).
+        capture: layer names whose (output activation, output relevance) to
+            return — the preprocess_data hook equivalent.
+
+    Returns:
+        (input_relevance, logits, captured) where captured maps name ->
+        (activation_out, relevance_out).
+    """
+    # ---- forward: record the input to every layer
+    acts = []
+    h = x
+    for spec in specs:
+        acts.append(h)
+        h = apply_layer(spec, params, h, train=False)
+    logits = h
+
+    R = output_relevance(logits)
+
+    captured: dict[str, tuple] = {}
+    capture = set(capture)
+
+    # ---- backward: apply rules / fallback vjp in reverse
+    for i in range(len(specs) - 1, -1, -1):
+        spec = specs[i]
+        a_in = acts[i]
+        a_out = acts[i + 1] if i + 1 < len(acts) else logits
+        if spec.name in capture:
+            # relevance at the OUTPUT of this layer is the R arriving now
+            captured[spec.name] = (a_out, R)
+
+        rule = composite.rule_for(spec.name)
+        if rule is not None and spec.kind in _RULE_LAYERS:
+            rule_name, kwargs = rule
+            if spec.kind == "subspacefilter":
+                R = RULES["subspace_mask"](None, a_in, R, **kwargs)
+            else:
+                apply_with = _apply_factory(spec, params)
+                R = RULES[rule_name](apply_with, a_in, R, **kwargs)
+        else:
+            # unmapped layer: plain vjp at the recorded input
+            fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)
+            _, vjp = jax.vjp(fwd, a_in)
+            (R,) = vjp(R)
+    return R, logits, captured
+
+
+def output_mask_class(class_idx: int, one_hot: bool = False):
+    """Attribute a single class: mask = one-hot(class_idx); relevance is the
+    logit (or 1.0 if one_hot) at that position (reference
+    attribute.py:132-144)."""
+    def fn(logits):
+        mask = jnp.zeros_like(logits).at[..., class_idx].set(1.0)
+        return mask if one_hot else logits * mask
+    return fn
+
+
+def output_mask_all_classes(num_classes: int, one_hot: bool = False):
+    """Balanced consecutive-class batch: sample i attributes class
+    i // (batch/num_classes) (reference attribute.py:146-158)."""
+    def fn(logits):
+        b = logits.shape[0]
+        per = b // num_classes
+        eye = jnp.eye(num_classes, dtype=logits.dtype)
+        mask = jnp.repeat(eye, per, axis=0)
+        return mask if one_hot else logits * mask
+    return fn
+
+
+def compute_relevances(
+    specs,
+    params,
+    x,
+    composite,
+    class_idx: int | None = None,
+    num_classes: int | None = None,
+    one_hot_encoded: bool = False,
+):
+    """Drop-in equivalent of reference attribute.compute_relevances
+    (attribute.py:70-108): returns input relevance maps, same shape as x."""
+    if class_idx is not None:
+        out_fn = output_mask_class(class_idx, one_hot_encoded)
+    elif num_classes is not None:
+        out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
+    else:
+        raise ValueError("provide class_idx or num_classes")
+    R, _, _ = lrp(specs, params, x, composite, out_fn)
+    return R
