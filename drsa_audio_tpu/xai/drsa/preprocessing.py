@@ -1,0 +1,123 @@
+"""DRSA training-data extraction.
+
+Re-implements reference cxai/xai/drsa/preprocessing.py TPU-first: the
+activation and relevance maps at the target layer fall out of the LRP
+engine's ``capture`` mechanism (one compiled forward+backward; no hooks, no
+retain_grad, no host mini-batching loop — memory is bounded by XLA
+rematerialization instead, and the batch axis can be pjit-sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drsa_audio_tpu.models.vgg import LayerSpec
+from drsa_audio_tpu.xai.lrp.engine import Composite, lrp, output_mask_class
+
+
+def extract_act_rel_maps(
+    specs: Sequence[LayerSpec],
+    params: dict,
+    input_batch: jnp.ndarray,
+    composite: Composite,
+    layer_idx: int,
+    class_idx: int,
+    one_hot_encoded: bool = False,
+):
+    """Activation + relevance maps at ``features.{layer_idx}``'s output.
+
+    Equivalent of reference get_intermediate (preprocessing.py:106-176).
+    Returns (activation_maps, relevance_maps), each [b, d, h, w].
+    """
+    layer_name = f"features.{layer_idx}"
+    _, _, captured = lrp(
+        specs, params, input_batch, composite,
+        output_mask_class(class_idx, one_hot_encoded),
+        capture=(layer_name,),
+    )
+    return captured[layer_name]
+
+
+def compute_context_vectors(activation_vectors, relevance_vectors, eps: float = 1e-7):
+    """c = R / (a + eps) (reference preprocessing.py:179-193)."""
+    return relevance_vectors / (activation_vectors + eps)
+
+
+def sample_spatial_locations(key, batch_size: int, map_hw, num_locations: int):
+    """Per-instance random spatial positions without replacement
+    (reference preprocessing.py:196-216), as a jittable permutation trick.
+
+    Returns int32 [batch, num_locations] indices into the flattened map.
+    """
+    total = map_hw[0] * map_hw[1]
+    keys = jax.random.split(key, batch_size)
+
+    def pick(k):
+        return jax.random.permutation(k, total)[:num_locations]
+
+    return jax.vmap(pick)(keys)
+
+
+def gather_vectors(maps: jnp.ndarray, idcs: jnp.ndarray) -> jnp.ndarray:
+    """Extract per-location channel vectors.
+
+    maps: [b, d, h, w]; idcs: [b, L] -> [b*L, d]
+    (reference get_vectors_from_maps, preprocessing.py:234-256).
+    """
+    b, d = maps.shape[0], maps.shape[1]
+    flat = maps.reshape(b, d, -1)                       # [b, d, hw]
+    vecs = jnp.take_along_axis(flat, idcs[:, None, :], axis=2)  # [b, d, L]
+    return vecs.swapaxes(-2, -1).reshape(-1, d)
+
+
+def all_vectors(maps: jnp.ndarray) -> jnp.ndarray:
+    """[b, d, h, w] -> [b, h*w, d] (inference mode, preprocessing.py:80-84)."""
+    b, d = maps.shape[0], maps.shape[1]
+    return maps.reshape(b, d, -1).swapaxes(-2, -1)
+
+
+def normalize_vectors(vectors: jnp.ndarray) -> jnp.ndarray:
+    """v / rms(all entries) / d^0.25 — the DRSA paper stabilization
+    (reference preprocessing.py:219-231)."""
+    d = vectors.shape[-1]
+    E = jnp.sqrt(jnp.mean(jnp.square(vectors)))
+    return vectors / E / d**0.25
+
+
+def preprocess_data(
+    specs,
+    params,
+    input_batch,
+    composite: Composite,
+    layer_idx: int,
+    class_idx: int,
+    num_locations: int | None = None,
+    one_hot_encoded: bool = False,
+    key: jax.Array | None = None,
+):
+    """Build (activation_vectors, context_vectors) for DRSA optimization
+    (reference preprocess_data, preprocessing.py:18-89).
+
+    With ``num_locations``: training mode, samples that many random positions
+    per map -> [b*L, d]. Without: inference mode, all positions -> [b, hw, d].
+    """
+    input_batch = jnp.asarray(input_batch)
+    act_maps, rel_maps = extract_act_rel_maps(
+        specs, params, input_batch, composite, layer_idx, class_idx,
+        one_hot_encoded)
+    if num_locations:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        idcs = sample_spatial_locations(
+            key, input_batch.shape[0], act_maps.shape[-2:], num_locations)
+        act_vecs = gather_vectors(act_maps, idcs)
+        rel_vecs = gather_vectors(rel_maps, idcs)
+    else:
+        act_vecs = all_vectors(act_maps)
+        rel_vecs = all_vectors(rel_maps)
+    ctx_vecs = compute_context_vectors(act_vecs, rel_vecs)
+    return act_vecs, ctx_vecs

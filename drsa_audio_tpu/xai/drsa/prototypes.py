@@ -1,0 +1,65 @@
+"""Prototype discovery: find the data subset maximizing the DRSA objective.
+
+Reference cxai/xai/drsa/prototypes.py:14-130 scans disjoint subsets of n
+clips sequentially; here the per-subset objective evaluation is one vmapped
+program over all subsets.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drsa_audio_tpu.xai.drsa.optimizer import obj_val
+from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+
+
+def subset_objectives(act_vecs, ctx_vecs, U, num_concepts: int, n: int):
+    """Objective of each disjoint subset of n instances.
+
+    act_vecs/ctx_vecs: [num_subsets * n, L, d] per-instance vectors
+    (L = locations per instance). Returns [num_subsets] objectives.
+    """
+    d = act_vecs.shape[-1]
+    a = act_vecs.reshape(-1, n * act_vecs.shape[1], d)
+    c = ctx_vecs.reshape(-1, n * ctx_vecs.shape[1], d)
+
+    def one(av, cv):
+        return obj_val(av, cv, U, num_concepts)
+
+    return jax.vmap(one)(a, c)
+
+
+def get_prototypes(
+    specs,
+    params,
+    layer_idx: int,
+    U,
+    composite,
+    data_batch,
+    num_concepts: int = 4,
+    n: int = 10,
+    class_idx: int = 0,
+    seed: int = 42,
+):
+    """Evaluate disjoint subsets of ``n`` instances and return the act/ctx
+    vectors and indices of the argmax subset (reference prototypes.py:14-130).
+
+    Returns (proto_act_vecs, proto_ctx_vecs, subset_index, objectives).
+    """
+    data_batch = jnp.asarray(data_batch)
+    N = (data_batch.shape[0] // n) * n
+    data_batch = data_batch[:N]
+
+    # inference-mode extraction: all spatial positions per instance
+    act_vecs, ctx_vecs = preprocess_data(
+        specs, params, data_batch, composite, layer_idx, class_idx,
+        num_locations=None)
+    # [N, L, d]
+    objs = subset_objectives(act_vecs, ctx_vecs, jnp.asarray(U), num_concepts, n)
+    best = int(np.argmax(np.asarray(objs)))
+    sl = slice(best * n, (best + 1) * n)
+    proto_a = act_vecs[sl].reshape(-1, act_vecs.shape[-1])
+    proto_c = ctx_vecs[sl].reshape(-1, ctx_vecs.shape[-1])
+    return proto_a, proto_c, best, np.asarray(objs)

@@ -1,0 +1,234 @@
+"""Heatmap generation: standard + per-subspace explanations.
+
+Re-implements the reference HeatmapGenerator (cxai/xai/explain/explainer.py)
+TPU-first. Two equivalent paths are provided:
+
+1. ``subspace_heatmaps_repeated`` — the reference's scheme: each instance is
+   repeated (K+1) times, one LRP pass with the subspace mask at the filter
+   layer produces all heatmaps (explainer.py:92, attribute.py:42-60).
+
+2. ``subspace_heatmaps`` (default, faster) — exploits that LRP backward is
+   LINEAR in the relevance given fixed activations: forward + upper backward
+   run ONCE on the unrepeated batch down to the filter layer; the (K+1)
+   concept maskings of the filter relevance are then pushed through the lower
+   backward under vmap. Mathematically identical to (1) — the repeated clones
+   share activations, so every stabilized denominator is the same — at
+   ~1/(K+1) of the upper-network cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drsa_audio_tpu.models.vgg import LayerSpec, apply_layer
+from drsa_audio_tpu.models.projection import insert_projection
+from drsa_audio_tpu.xai.lrp.engine import (
+    Composite,
+    lrp,
+    output_mask_class,
+    output_mask_all_classes,
+    _apply_factory,
+    _RULE_LAYERS,
+)
+from drsa_audio_tpu.xai.lrp.rules import RULES
+from drsa_audio_tpu.utils.constants import CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY
+
+
+def class_composite(name_map, num_concepts: int) -> Composite:
+    """Composite with Epsilon on the virtual projection layers and the
+    subspace mask on the filter layer (reference explainer.py:179-203)."""
+    entries = list(name_map)
+    entries.append(("features.invprojection", ("epsilon", {"epsilon": 1e-6})))
+    entries.append(("features.subspacefilter",
+                    ("subspace_mask", {"num_concepts": num_concepts})))
+    entries.append(("features.projection", ("epsilon", {"epsilon": 1e-6})))
+    return Composite.from_list(entries)
+
+
+def _split_at_filter(specs: Sequence[LayerSpec]):
+    idx = next(i for i, s in enumerate(specs) if s.kind == "subspacefilter")
+    return list(specs[:idx]), list(specs[idx + 1:])  # filter itself is identity
+
+
+def _lrp_segment_backward(specs, params, acts, R, composite):
+    """Backward over a recorded segment (acts[i] is input to specs[i])."""
+    for i in range(len(specs) - 1, -1, -1):
+        spec = specs[i]
+        a_in = acts[i]
+        rule = composite.rule_for(spec.name)
+        if rule is not None and spec.kind in _RULE_LAYERS and spec.kind != "subspacefilter":
+            rule_name, kwargs = rule
+            apply_with = _apply_factory(spec, params)
+            R = RULES[rule_name](apply_with, a_in, R, **kwargs)
+        else:
+            fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)
+            _, vjp = jax.vjp(fwd, a_in)
+            (R,) = vjp(R)
+    return R
+
+
+def subspace_heatmaps(
+    specs_proj: Sequence[LayerSpec],
+    params: dict,
+    x: jnp.ndarray,
+    composite: Composite,
+    num_concepts: int,
+    class_idx: int | None = None,
+    num_classes: int | None = None,
+    one_hot_encoded: bool = False,
+):
+    """Fast path: returns heatmaps [batch, K+1, h, w] (index 0 = standard).
+
+    ``specs_proj`` must already contain the projection triple
+    (see models.projection.insert_projection).
+    """
+    lower, upper = _split_at_filter(specs_proj)
+
+    # forward, recording per-layer inputs
+    acts_lower = []
+    h = x
+    for spec in lower:
+        acts_lower.append(h)
+        h = apply_layer(spec, params, h, train=False)
+    filter_out = h  # [b, n, K, d_k]
+    acts_upper = []
+    for spec in upper:
+        acts_upper.append(h)
+        h = apply_layer(spec, params, h, train=False)
+    logits = h
+
+    if class_idx is not None:
+        out_fn = output_mask_class(class_idx, one_hot_encoded)
+    else:
+        out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
+    R = out_fn(logits)
+
+    # upper backward once
+    R_filter = _lrp_segment_backward(upper, params, acts_upper, R, composite)
+    # [b, n, K, d_k]
+
+    # build K+1 maskings: clone 0 = identity, clone k keeps concept k
+    eye = jnp.eye(num_concepts, dtype=R_filter.dtype)
+    masks = jnp.concatenate(
+        [jnp.ones((1, num_concepts), R_filter.dtype), eye], axis=0
+    )  # [K+1, K]
+    R_masked = R_filter[None] * masks[:, None, None, :, None]  # [K+1, b, n, K, d_k]
+
+    # lower backward, vmapped over the K+1 clones (linear in R)
+    def lower_bwd(Rf):
+        return _lrp_segment_backward(lower, params, acts_lower, Rf, composite)
+
+    R_in = jax.vmap(lower_bwd)(R_masked)  # [K+1, b, c, h, w]
+    R_in = jnp.moveaxis(R_in, 0, 1)       # [b, K+1, c, h, w]
+    return R_in[:, :, 0], logits          # channel dim is 1
+
+
+def subspace_heatmaps_repeated(
+    specs_proj, params, x, composite, num_concepts,
+    class_idx=None, num_classes=None, one_hot_encoded=False,
+):
+    """Reference-scheme path (repeat_interleave(K+1), one big LRP pass) for
+    cross-validation of the fast path."""
+    k1 = num_concepts + 1
+    xr = jnp.repeat(x, k1, axis=0)
+    if class_idx is not None:
+        out_fn = output_mask_class(class_idx, one_hot_encoded)
+    else:
+        out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
+    R, logits, _ = lrp(specs_proj, params, xr, composite, out_fn)
+    R = R.reshape(-1, k1, *x.shape[1:])
+    return R[:, :, 0], logits
+
+
+def sort_subspaces(subspace_heatmaps: np.ndarray):
+    """Sort each instance's subspace heatmaps by descending total relevance
+    (reference explainer.py:151-176). Returns (heatmaps, relevances, mask)."""
+    rel = subspace_heatmaps.sum(axis=(-2, -1))
+    order = np.argsort(rel, axis=-1)[..., ::-1]
+    b = subspace_heatmaps.shape[0]
+    sorted_maps = subspace_heatmaps[np.arange(b)[:, None], order]
+    sorted_rel = rel[np.arange(b)[:, None], order]
+    return sorted_maps, sorted_rel, order
+
+
+@dataclasses.dataclass
+class HeatmapGenerator:
+    """Drop-in equivalent of the reference HeatmapGenerator
+    (explainer.py:15-176).
+
+    Attributes mirror the reference: after ``generate_subspace_heatmaps`` the
+    ``info`` dict holds input / standard_heatmaps / standard_relevance /
+    subspace_heatmaps / subspace_relevances / mask.
+    """
+    specs: Sequence[LayerSpec]
+    params: dict
+    U: jnp.ndarray
+    name_map: list
+    sample_class: str
+    num_concepts: int = 4
+    layer_idx: int = 10
+    case: str | None = None
+
+    def __post_init__(self):
+        case = self.case
+        if case is None:
+            case = "toy" if self.sample_class.endswith(("1", "2")) else "gtzan"
+        mapper = CLASS_IDX_MAPPER if case == "gtzan" else CLASS_IDX_MAPPER_TOY
+        self.class_idx = mapper[self.sample_class]
+        self.num_classes = len(mapper)
+        self.specs_proj = insert_projection(
+            self.specs, self.layer_idx, jnp.asarray(self.U, jnp.float32),
+            self.num_concepts)
+        self.composite = class_composite(self.name_map, self.num_concepts)
+        self.info: dict = {}
+
+    def generate_subspace_heatmaps(
+        self, input_batch, one_hot_encoded=False, concept_flipping=False,
+        flip_all_classes=False,
+    ):
+        x = jnp.asarray(input_batch)
+        self.info["input"] = np.asarray(x)
+        heat, _ = subspace_heatmaps(
+            self.specs_proj, self.params, x, self.composite, self.num_concepts,
+            class_idx=None if flip_all_classes else self.class_idx,
+            num_classes=self.num_classes if flip_all_classes else None,
+            one_hot_encoded=one_hot_encoded,
+        )
+        heat = np.asarray(heat)  # [b, K+1, h, w]
+        if concept_flipping:
+            # evaluation path: return raw subspace heatmaps (reference
+            # explainer.py:103-109 commented-out early return, used by cpf)
+            return heat[:, 1:]
+        standard = heat[:, 0:1]
+        sub, sub_rel, mask = sort_subspaces(heat[:, 1:])
+        self.info["standard_heatmaps"] = standard
+        self.info["standard_relevance"] = standard.sum(axis=(-2, -1)).flatten()
+        self.info["subspace_heatmaps"] = sub
+        self.info["subspace_relevances"] = sub_rel
+        self.info["mask"] = mask
+        return sub
+
+
+def compute_subspace_relevances(act_vecs, ctx_vecs, U, n_concepts: int = 4):
+    """Direct per-subspace relevance sum((aU) * (cU)) per concept block
+    without heatmaps (reference explainer.py:206-242).
+
+    act_vecs/ctx_vecs: [batch, N, d]. Returns [batch, n_concepts].
+    """
+    act_vecs = jnp.asarray(act_vecs)
+    ctx_vecs = jnp.asarray(ctx_vecs)
+    if act_vecs.ndim == 2:
+        act_vecs = act_vecs[None]
+    if ctx_vecs.ndim == 2:
+        ctx_vecs = ctx_vecs[None]
+    d = U.shape[0]
+    d_k = d // n_concepts
+    xa = jnp.matmul(act_vecs, U, preferred_element_type=jnp.float32)
+    xc = jnp.matmul(ctx_vecs, U, preferred_element_type=jnp.float32)
+    x = (xa * xc).reshape(act_vecs.shape[0], act_vecs.shape[1], n_concepts, d_k)
+    return x.sum(axis=(-1, 1))

@@ -1,0 +1,161 @@
+"""DRSA optimizer + preprocessing tests: torch float64 oracle trajectory,
+orthogonality invariants, NS-vs-eigh parity, concept recovery on synthetic
+block-structured data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from drsa_audio_tpu.xai.drsa.optimizer import (
+    drsa_fit, fit, obj_val, objective_fn, orthogonalize_eigh, orthogonalize_ns,
+    random_orthogonal, init_runs, subspace_relevances,
+)
+from drsa_audio_tpu.xai.drsa.preprocessing import (
+    normalize_vectors, compute_context_vectors, sample_spatial_locations,
+    gather_vectors, all_vectors,
+)
+
+
+def torch_obj_val(A, C, U, K):
+    """Reference objective in torch float64 (drsa.py:122-155,171-182)."""
+    xa, xc = A @ U, C @ U
+    x = (xa * xc).reshape(-1, K, U.shape[0] // K)
+    rel = torch.relu(x.sum(-1))
+    m = (rel**2).mean(0) ** 0.5
+    return (m**0.5).mean() ** 2
+
+
+def torch_orthogonalize(U):
+    UtU = U.T @ U
+    S, V = torch.linalg.eigh(UtU)
+    inv = V @ torch.diag(1.0 / torch.sqrt(S)) @ V.T
+    return U @ inv
+
+
+def test_objective_matches_torch_f64(rng):
+    d, K, N = 16, 4, 64
+    A = rng.standard_normal((N, d))
+    C = rng.standard_normal((N, d))
+    U = np.linalg.qr(rng.standard_normal((d, d)))[0]
+    ours = float(obj_val(jnp.asarray(A, jnp.float32), jnp.asarray(C, jnp.float32),
+                         jnp.asarray(U, jnp.float32), K))
+    ref = float(torch_obj_val(torch.tensor(A), torch.tensor(C), torch.tensor(U), K))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["eigh", "ns"])
+def test_orthogonalize_produces_orthogonal(rng, method):
+    d = 32
+    U = rng.standard_normal((d, d)).astype(np.float32) * 0.5 + np.eye(d, dtype=np.float32)
+    fn = orthogonalize_eigh if method == "eigh" else orthogonalize_ns
+    Q = np.asarray(fn(jnp.asarray(U)))
+    np.testing.assert_allclose(Q.T @ Q, np.eye(d), atol=5e-4)
+
+
+def test_ns_matches_eigh(rng):
+    d = 64
+    U = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+    U = U + 0.05 * rng.standard_normal((d, d)).astype(np.float32)
+    a = np.asarray(orthogonalize_eigh(jnp.asarray(U)))
+    b = np.asarray(orthogonalize_ns(jnp.asarray(U)))
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_trajectory_matches_torch_oracle(rng):
+    """Short optimization run vs torch float64 oracle: same update rule,
+    objectives should track within float32 drift."""
+    d, K, N, steps = 16, 4, 128, 30
+    A = rng.standard_normal((N, d)).astype(np.float32)
+    C = rng.standard_normal((N, d)).astype(np.float32)
+    A = np.asarray(normalize_vectors(jnp.asarray(A)))
+    C = np.asarray(normalize_vectors(jnp.asarray(C)))
+    U0 = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+
+    res = drsa_fit(jnp.asarray(U0)[None], jnp.asarray(A), jnp.asarray(C),
+                   K, steps, "eigh")
+    ours = np.asarray(res.objectives[0])
+
+    # torch float64 oracle
+    U = torch.tensor(U0, dtype=torch.float64)
+    At, Ct = torch.tensor(A, dtype=torch.float64), torch.tensor(C, dtype=torch.float64)
+    objs = []
+    for _ in range(steps):
+        U.requires_grad_(True)
+        obj = torch_obj_val(At, Ct, U, K)
+        (g,) = torch.autograd.grad(obj, U)
+        with torch.no_grad():
+            U = torch_orthogonalize(U.detach() + g)
+        objs.append(float(obj))
+    objs.append(float(torch_obj_val(At, Ct, U, K)))
+    ref = np.array(objs)
+
+    np.testing.assert_allclose(ours, ref, rtol=2e-2)
+    # final objective improved over initial
+    assert ours[-1] > ours[0]
+
+
+def test_fit_recovers_block_structure(rng):
+    """Synthetic ground truth: relevance concentrated in K known orthogonal
+    subspaces under a random rotation; DRSA should achieve a much higher
+    objective than a random U."""
+    d, K, N = 16, 4, 512
+    d_k = d // K
+    # latent: each sample activates exactly one concept block
+    Z_a = np.zeros((N, d), np.float32)
+    Z_c = np.zeros((N, d), np.float32)
+    for i in range(N):
+        k = i % K
+        Z_a[i, k * d_k:(k + 1) * d_k] = rng.standard_normal(d_k)
+        Z_c[i, k * d_k:(k + 1) * d_k] = np.abs(rng.standard_normal(d_k)) * np.sign(Z_a[i, k * d_k:(k + 1) * d_k])
+    # hide the structure under a random rotation
+    Q = np.linalg.qr(rng.standard_normal((d, d)))[0].astype(np.float32)
+    A, C = Z_a @ Q.T, Z_c @ Q.T
+    A = np.asarray(normalize_vectors(jnp.asarray(A)))
+    C = np.asarray(normalize_vectors(jnp.asarray(C)))
+
+    res = fit(A, C, num_concepts=K, steps=300, runs=2, seed=0)
+    best = int(res.best_run)
+    final = float(res.objectives[best, -1])
+
+    U_rand = np.asarray(random_orthogonal(jax.random.PRNGKey(123), d))
+    baseline = float(obj_val(jnp.asarray(A), jnp.asarray(C), jnp.asarray(U_rand), K))
+    assert final > 1.5 * baseline, (final, baseline)
+    # U stays orthogonal through the whole run
+    U = np.asarray(res.U[best])
+    np.testing.assert_allclose(U.T @ U, np.eye(d), atol=3e-3)
+
+
+def test_normalize_vectors(rng):
+    v = rng.standard_normal((100, 16)).astype(np.float32) * 3
+    out = np.asarray(normalize_vectors(jnp.asarray(v)))
+    rms = np.sqrt((out**2).mean())
+    np.testing.assert_allclose(rms * 16**0.25, 1.0, rtol=1e-4)
+
+
+def test_context_vectors():
+    a = jnp.asarray([[1.0, 2.0], [0.0, 4.0]])
+    r = jnp.asarray([[2.0, 2.0], [3.0, 8.0]])
+    c = np.asarray(compute_context_vectors(a, r))
+    np.testing.assert_allclose(c[0, 0], 2.0 / (1.0 + 1e-7))
+    np.testing.assert_allclose(c[1, 0], 3.0 / 1e-7, rtol=1e-5)
+
+
+def test_location_sampling_unique(rng):
+    idcs = np.asarray(sample_spatial_locations(jax.random.PRNGKey(0), 8, (8, 8), 20))
+    assert idcs.shape == (8, 20)
+    for row in idcs:
+        assert len(set(row.tolist())) == 20
+        assert row.max() < 64
+
+
+def test_gather_vectors_matches_manual(rng):
+    maps = rng.standard_normal((2, 3, 4, 4)).astype(np.float32)
+    idcs = np.array([[0, 5, 15], [1, 2, 3]], dtype=np.int32)
+    out = np.asarray(gather_vectors(jnp.asarray(maps), jnp.asarray(idcs)))
+    assert out.shape == (6, 3)
+    flat = maps.reshape(2, 3, 16)
+    for b in range(2):
+        for j, loc in enumerate(idcs[b]):
+            np.testing.assert_array_equal(out[b * 3 + j], flat[b, :, loc])

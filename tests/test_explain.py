@@ -1,0 +1,117 @@
+"""Subspace heatmap generation tests: fast split-backward path vs the
+reference-scheme repeated-batch path, sorting, and subspace relevances."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config
+from drsa_audio_tpu.models.projection import insert_projection, apply_projection, apply_inv_projection
+from drsa_audio_tpu.xai.explain import (
+    HeatmapGenerator, class_composite, subspace_heatmaps,
+    subspace_heatmaps_repeated, sort_subspaces, compute_subspace_relevances,
+)
+from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+
+
+@pytest.fixture(scope="module")
+def model_with_projection():
+    cfg = toy_config()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    layer_idx, d, K = 10, 16, 4  # features.10 is the 4th-block ReLU (16 ch)
+    U = random_orthogonal(jax.random.PRNGKey(7), d)
+    specs_proj = insert_projection(specs, layer_idx, U, K)
+    composite = class_composite(LRP_NAME_MAP_TOY, K)
+    return specs, specs_proj, params, composite, U, K
+
+
+def test_projection_roundtrip(rng):
+    """InvProjection(Projection(x)) == x for orthogonal U."""
+    d, K = 16, 4
+    U = random_orthogonal(jax.random.PRNGKey(1), d)
+    x = jnp.asarray(rng.standard_normal((2, d, 4, 4)).astype(np.float32))
+    h = apply_projection(x, U, K)
+    assert h.shape == (2, 16, K, d // K)
+    x_rec = apply_inv_projection(h, U, K)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_projection_model_forward_unchanged(model_with_projection, rng):
+    """With orthogonal U, inserting the projection triple leaves logits
+    (numerically) unchanged."""
+    from drsa_audio_tpu.models.vgg import forward
+    specs, specs_proj, params, _, _, _ = model_with_projection
+    x = jnp.asarray(rng.standard_normal((2, 1, 64, 64)).astype(np.float32))
+    y0 = forward(specs, params, x)
+    y1 = forward(specs_proj, params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-3, atol=1e-4)
+
+
+def test_fast_path_equals_repeated_path(model_with_projection, rng):
+    """The split-backward fast path must reproduce the reference's
+    repeat-interleave scheme exactly (LRP backward linearity)."""
+    _, specs_proj, params, composite, _, K = model_with_projection
+    x = jnp.asarray(rng.standard_normal((3, 1, 64, 64)).astype(np.float32))
+
+    fast, logits_f = subspace_heatmaps(specs_proj, params, x, composite, K, class_idx=1)
+    slow, logits_s = subspace_heatmaps_repeated(specs_proj, params, x, composite, K, class_idx=1)
+
+    assert fast.shape == (3, K + 1, 64, 64)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=1e-3, atol=1e-6)
+
+
+def test_subspace_heatmaps_sum_to_standard(model_with_projection, rng):
+    """Relevance at the filter layer splits exactly across the K subspaces, so
+    the K subspace heatmaps sum to the standard heatmap."""
+    _, specs_proj, params, composite, _, K = model_with_projection
+    x = jnp.asarray(rng.standard_normal((2, 1, 64, 64)).astype(np.float32))
+    heat, _ = subspace_heatmaps(specs_proj, params, x, composite, K, class_idx=0)
+    heat = np.asarray(heat)
+    np.testing.assert_allclose(heat[:, 1:].sum(axis=1), heat[:, 0], rtol=1e-3, atol=1e-5)
+
+
+def test_sort_subspaces():
+    maps = np.zeros((2, 3, 2, 2), np.float32)
+    maps[0, 0] = 1.0
+    maps[0, 1] = 3.0
+    maps[0, 2] = 2.0
+    maps[1, 0] = 5.0
+    sorted_maps, rel, order = sort_subspaces(maps)
+    np.testing.assert_array_equal(order[0], [1, 2, 0])
+    np.testing.assert_array_equal(order[1], [0, 2, 1])
+    assert rel[0, 0] == 12.0  # 3.0 * 4 pixels
+    np.testing.assert_array_equal(sorted_maps[0, 0], maps[0, 1])
+
+
+def test_heatmap_generator_end_to_end(model_with_projection, rng):
+    specs, _, params, _, U, K = model_with_projection
+    gen = HeatmapGenerator(
+        specs=specs, params=params, U=U, name_map=LRP_NAME_MAP_TOY,
+        sample_class="class2", num_concepts=K, layer_idx=10)
+    x = rng.standard_normal((2, 1, 64, 64)).astype(np.float32)
+    sub = gen.generate_subspace_heatmaps(x)
+    assert sub.shape == (2, K, 64, 64)
+    info = gen.info
+    assert info["standard_heatmaps"].shape == (2, 1, 64, 64)
+    assert info["subspace_relevances"].shape == (2, K)
+    # sorted descending
+    assert np.all(np.diff(info["subspace_relevances"], axis=-1) <= 1e-6)
+    # concept_flipping mode returns raw (unsorted) subspace heatmaps
+    raw = gen.generate_subspace_heatmaps(x, concept_flipping=True)
+    assert raw.shape == (2, K, 64, 64)
+
+
+def test_compute_subspace_relevances(rng):
+    d, K, n = 8, 2, 5
+    U = np.asarray(random_orthogonal(jax.random.PRNGKey(3), d))
+    a = rng.standard_normal((3, n, d)).astype(np.float32)
+    c = rng.standard_normal((3, n, d)).astype(np.float32)
+    out = np.asarray(compute_subspace_relevances(a, c, jnp.asarray(U), K))
+    assert out.shape == (3, K)
+    # manual: sum over positions and block dims of (aU * cU)
+    xa, xc = a @ U, c @ U
+    x = (xa * xc).reshape(3, n, K, d // K)
+    np.testing.assert_allclose(out, x.sum(axis=(1, 3)), rtol=1e-4, atol=1e-5)
