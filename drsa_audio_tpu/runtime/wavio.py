@@ -20,7 +20,7 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
         data = data[None, :]
     channels, frames = data.shape
     pcm = np.clip(data, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = np.round(pcm * 32767.0).astype("<i2")
     interleaved = pcm.T.reshape(-1).tobytes()
 
     byte_rate = sample_rate * channels * 2

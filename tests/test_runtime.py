@@ -1,0 +1,114 @@
+"""Native runtime tests: WAV roundtrip (numpy + C++ paths), threaded decode,
+Telea inpainting vs cv2."""
+
+import os
+
+import numpy as np
+import pytest
+
+from drsa_audio_tpu.runtime import native
+from drsa_audio_tpu.runtime.wavio import read_wav, write_wav
+from drsa_audio_tpu.runtime.loader import load_audio
+
+
+@pytest.fixture
+def wav_file(tmp_path, rng):
+    x = np.clip(rng.standard_normal((1, 16000)) * 0.3, -1, 1).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, x, 16000)
+    return path, x
+
+
+def test_numpy_wav_roundtrip(wav_file):
+    path, x = wav_file
+    data, sr = read_wav(path)
+    assert sr == 16000
+    assert data.shape == x.shape
+    np.testing.assert_allclose(data, x, atol=1e-4)
+
+
+def test_native_available():
+    assert native.available(), "C++ runtime not built (make -C csrc)"
+
+
+def test_native_decode_matches_numpy(wav_file):
+    path, x = wav_file
+    data, sr = native.decode_wav(path)
+    ref, _ = read_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(data, ref, atol=1e-6)
+
+
+def test_native_decode_many(tmp_path, rng):
+    paths = []
+    refs = []
+    for i in range(10):
+        x = np.clip(rng.standard_normal((1, 8000)) * 0.3, -1, 1).astype(np.float32)
+        p = str(tmp_path / f"m{i}.wav")
+        write_wav(p, x, 16000)
+        paths.append(p)
+        refs.append(x)
+    out = native.decode_many(paths, num_threads=4)
+    for got, ref in zip(out, refs):
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_loader_facade(wav_file):
+    path, x = wav_file
+    data, sr = load_audio(path)
+    assert data.shape == x.shape
+
+
+def test_telea_inpaint_fills_hole(rng):
+    """Inpainting a constant image must reproduce the constant; a gradient
+    image should be filled smoothly (no NaNs, bounded by neighbors)."""
+    img = np.full((32, 32), 3.5, np.float32)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[10:20, 12:22] = 1
+    img_holed = img.copy()
+    img_holed[mask > 0] = 0
+    out = native.telea_inpaint(img_holed, mask, radius=8)
+    np.testing.assert_allclose(out[mask > 0], 3.5, atol=1e-3)
+
+    # gradient image
+    gy, gx = np.mgrid[0:32, 0:32]
+    img2 = (gx / 31.0).astype(np.float32)
+    holed = img2.copy()
+    holed[mask > 0] = 0
+    out2 = native.telea_inpaint(holed, mask, radius=8)
+    assert np.all(np.isfinite(out2))
+    err = np.abs(out2[mask > 0] - img2[mask > 0])
+    assert err.mean() < 0.1, err.mean()
+
+
+def test_telea_reconstruction_no_worse_than_cv2(rng):
+    """Reconstruction-quality gate vs cv2.INPAINT_TELEA (the reference's
+    implementation, pixelflipping/core.py:167): on a smooth float field our
+    FMM inpainting must recover the hidden truth at least as well as cv2
+    (measured: ours ~0.29 rel err, cv2 ~1.38 on this fixture — cv2's float
+    path extrapolates poorly)."""
+    cv2 = pytest.importorskip("cv2")
+    img = rng.standard_normal((64, 64)).astype(np.float32)
+    img = np.cumsum(np.cumsum(img, 0), 1) / 64  # smooth field
+    mask = np.zeros((64, 64), np.uint8)
+    mask[20:36, 24:40] = 1
+    holed = img.copy()
+    holed[mask > 0] = 0
+    ours = native.telea_inpaint(holed, mask, radius=8)
+    ref = cv2.inpaint(holed, mask, inpaintRadius=8, flags=cv2.INPAINT_TELEA)
+    scale = np.abs(img[mask > 0]).mean() + 1e-6
+    err_ours = np.abs(ours[mask > 0] - img[mask > 0]).mean() / scale
+    err_cv2 = np.abs(ref[mask > 0] - img[mask > 0]).mean() / scale
+    assert err_ours < 0.35, err_ours
+    assert err_ours <= err_cv2 * 1.2, (err_ours, err_cv2)
+
+
+def test_telea_batch(rng):
+    imgs = np.tile(np.linspace(0, 1, 16, dtype=np.float32)[None, None, :], (3, 16, 1))
+    masks = np.zeros((3, 16, 16), np.uint8)
+    masks[:, 5:9, 5:9] = 1
+    holed = imgs.copy()
+    holed[masks > 0] = 0
+    out = native.telea_inpaint_batch(holed, masks, radius=6, num_threads=2)
+    assert out.shape == (3, 16, 16)
+    assert np.all(np.isfinite(out))
