@@ -1,0 +1,207 @@
+"""Pixel / patch flipping evaluation (AUPC).
+
+TPU-native redesign of the reference Flipper (cxai/xai/pixelflipping/core.py):
+
+  * the quadratic flip schedule (step t flips t^2 patches) is STATIC given
+    num_patches, so all cumulative masks are computed up front;
+  * for the 'constant' perturbation mode, every perturbation step's input is
+    just input * cumulative_mask — all steps are evaluated in ONE batched
+    model forward ([steps * batch]) instead of the reference's sequential
+    while-loop (core.py:106-127). On TPU this turns a latency-bound loop into
+    a single large MXU-bound program;
+  * 'inpainting' mode routes masks through the native C++ Telea runtime
+    (drsa_audio_tpu.runtime.native) on the host, then batches the forwards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quadratic_schedule(num_patches: int) -> list[int]:
+    """Flips per step: 1, 4, 9, ... then the remainder (core.py:106-112).
+
+    Interpretation of the reference loop: at step t (1-indexed), flip t^2
+    patches unless fewer remain.
+    """
+    flips = []
+    flipped = 0
+    step = 1
+    while flipped < num_patches:
+        n = min(step * step, num_patches - flipped)
+        flips.append(n)
+        flipped += n
+        step += 1
+    return flips
+
+
+def rank_patches(R: jnp.ndarray, perturbation_size: int) -> jnp.ndarray:
+    """Rank patches by summed ReLU relevance, descending
+    (core.py:189-213). R: [b, n_concepts, h, w] -> [b, n_concepts, P]."""
+    b, k, h, w = R.shape
+    p = perturbation_size
+    Rp = jnp.maximum(R, 0.0)
+    patches = Rp.reshape(b, k, h // p, p, w // p, p).sum(axis=(3, 5))
+    flat = patches.reshape(b, k, -1)
+    return jnp.argsort(-flat, axis=-1, stable=True)
+
+
+def _cumulative_masks(order: jnp.ndarray, flips: Sequence[int],
+                      grid_hw: tuple[int, int]) -> jnp.ndarray:
+    """Binary cumulative KEEP masks per step on the patch grid.
+
+    order: [b, k, P] patch indices sorted by relevance (per concept).
+    Returns [steps, b, gh*gw] float masks (1 = keep), where at step s all
+    concepts' top cum_flips[s] patches are flipped (multi-concept union,
+    core.py:232-234).
+    """
+    steps = len(flips)
+    cum = np.cumsum(flips)
+    b, k, P = order.shape
+
+    # rank position of each patch per concept: pos[b,k,p] = rank of patch p
+    ranks = jnp.argsort(order, axis=-1)  # inverse permutation
+    # patch p is flipped at step s iff min_k rank[b,k,p] < cum[s]
+    min_rank = jnp.min(ranks, axis=1)    # [b, P]
+    cum_j = jnp.asarray(cum)             # [steps]
+    flipped = min_rank[None, :, :] < cum_j[:, None, None]  # [steps, b, P]
+    return 1.0 - flipped.astype(jnp.float32)
+
+
+def _upsample_patch_mask(mask: jnp.ndarray, grid_hw, p: int) -> jnp.ndarray:
+    """[..., gh*gw] -> [..., gh*p, gw*p] pixel mask."""
+    gh, gw = grid_hw
+    m = mask.reshape(mask.shape[:-1] + (gh, 1, gw, 1))
+    m = jnp.broadcast_to(m, mask.shape[:-1] + (gh, p, gw, p))
+    return m.reshape(mask.shape[:-1] + (gh * p, gw * p))
+
+
+def calculate_aupc(perturbed_predictions: np.ndarray,
+                   flips_per_step: np.ndarray, n_classes: int) -> np.ndarray:
+    """Weighted sum of logit drops (core.py:291-312).
+
+    perturbed_predictions: [steps+1, batch]. Returns [n_classes, batch//n_classes].
+    """
+    frac = (perturbed_predictions[:-1] - perturbed_predictions[1:]) / 2.0
+    weights = np.cumsum(flips_per_step[1:]) / flips_per_step[1:].sum()
+    aupc = (weights[:, None] * frac).sum(axis=0)
+    return aupc.reshape(n_classes, -1)
+
+
+class Flipper:
+    """Drop-in equivalent of the reference Flipper (core.py:6-136).
+
+    __call__(forward_func, input_batch, R, flipping_mode) returns
+    (aupc_per_instance [n_classes, per_class], mean perturbed logits per step,
+    flips per step).
+    """
+
+    def __init__(self, perturbation_size: int = 16,
+                 perturbation_mode: str = "constant",
+                 data_normalization: str = "normalized",
+                 forward_batch: int = 0,
+                 seed: int = 0):
+        self.perturbation_size = perturbation_size
+        self.perturbation_mode = perturbation_mode
+        self.data_normalization = data_normalization
+        self.forward_batch = forward_batch
+        self.seed = seed
+
+    def __call__(self, forward_func: Callable, input_batch, R,
+                 flipping_mode: str | None = None):
+        x = jnp.asarray(input_batch)
+        b, c, h, w = x.shape
+        p = self.perturbation_size
+        gh, gw = h // p, w // p
+        num_patches = gh * gw
+        flips = quadratic_schedule(num_patches)
+
+        if flipping_mode == "random":
+            key = jax.random.PRNGKey(self.seed)
+            keys = jax.random.split(key, b)
+            order = jax.vmap(lambda k: jax.random.permutation(k, num_patches))(keys)
+            order = order[:, None, :]
+        else:
+            R = jnp.asarray(R)
+            if R.ndim == 4 and R.shape[1] == c:
+                R = R[:, None, 0] if c == 1 else R[:, None].sum(2)
+            elif R.ndim == 5:
+                R = R[:, :, 0] if R.shape[2] == 1 else R.sum(2)
+            order = rank_patches(R, p)
+
+        keep = _cumulative_masks(order, flips, (gh, gw))       # [steps, b, P]
+        pixel_masks = _upsample_patch_mask(keep, (gh, gw), p)  # [steps, b, h, w]
+
+        logits0 = np.asarray(forward_func(x))
+        n_classes = logits0.shape[-1]
+        class_ids = np.repeat(np.arange(n_classes),
+                              max(b // n_classes, 1))[:b]
+
+        if self.perturbation_mode == "constant":
+            perturbed = pixel_masks[:, :, None, :, :] * x[None]
+        elif self.perturbation_mode == "inpainting":
+            perturbed = self._inpaint_all(np.asarray(x), np.asarray(pixel_masks))
+            perturbed = jnp.asarray(perturbed)
+        else:
+            raise ValueError(f"bad perturbation_mode {self.perturbation_mode}")
+
+        steps = len(flips)
+        flat = perturbed.reshape(steps * b, c, h, w)
+        fb = self.forward_batch or steps * b
+        outs = []
+        for i in range(0, steps * b, fb):
+            outs.append(np.asarray(forward_func(flat[i:i + fb])))
+        logits = np.concatenate(outs, 0).reshape(steps, b, n_classes)
+
+        def class_scores(lg):
+            return np.maximum(lg[np.arange(b), class_ids], 0.0)
+
+        preds = [class_scores(logits0)]
+        for s in range(steps):
+            preds.append(class_scores(logits[s]))
+        preds = np.stack(preds, axis=0)  # [steps+1, b]
+
+        flips_arr = np.array([0] + flips)
+        aupc = calculate_aupc(preds, flips_arr, n_classes)
+        return aupc, preds.mean(axis=1), flips_arr
+
+    def _inpaint_all(self, x: np.ndarray, pixel_masks: np.ndarray):
+        """Sequential-semantics inpainting via the native Telea runtime.
+
+        Matches the reference behavior (core.py:155-185): each step inpaints
+        the newly-flipped region of the PREVIOUS step's image, with optional
+        per-patch renormalization.
+        """
+        from drsa_audio_tpu.runtime import native
+        steps, b = pixel_masks.shape[:2]
+        c = x.shape[1]
+        current = x.copy()
+        out = np.empty((steps,) + x.shape, np.float32)
+        prev_keep = np.ones_like(pixel_masks[0])
+        for s in range(steps):
+            hole = (pixel_masks[s] < 0.5).astype(np.uint8)  # cumulative hole
+            imgs = current[:, 0]
+            if native.available():
+                filled = native.telea_inpaint_batch(
+                    imgs, hole, radius=self.perturbation_size // 2)
+            else:  # pure-python fallback: mean fill
+                filled = imgs.copy()
+                for i in range(b):
+                    m = hole[i] > 0
+                    filled[i][m] = imgs[i][~m].mean()
+            if self.data_normalization in ("normalized", "min"):
+                lo = filled.min(axis=(-2, -1), keepdims=True)
+                hi = filled.max(axis=(-2, -1), keepdims=True)
+                norm = (filled - lo) / (hi - lo + 1e-9)
+                if self.data_normalization == "min":
+                    norm = 2 * norm - 1
+                filled = np.where(hole > 0, norm, imgs)
+            current = filled[:, None]
+            out[s] = current
+            prev_keep = pixel_masks[s]
+        return out.reshape(steps, b, c, *x.shape[-2:])

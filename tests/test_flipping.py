@@ -1,0 +1,162 @@
+"""Flipper tests: schedule, patch ranking, AUPC math, batched-vs-sequential
+equivalence, and metric formulas."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drsa_audio_tpu.xai.eval.flipping import (
+    Flipper, quadratic_schedule, rank_patches, calculate_aupc,
+)
+from drsa_audio_tpu.xai.eval.metrics import (
+    separability, peakness, frobenius_distance,
+)
+
+
+def test_quadratic_schedule():
+    # 64 patches: 1 + 4 + 9 + 16 + 25 = 55, remainder 9
+    assert quadratic_schedule(64) == [1, 4, 9, 16, 25, 9]
+    assert sum(quadratic_schedule(64)) == 64
+    assert quadratic_schedule(4) == [1, 3]
+
+
+def test_rank_patches_orders_by_relu_sum():
+    R = np.zeros((1, 1, 4, 4), np.float32)
+    R[0, 0, :2, :2] = 1.0     # patch 0 (2x2 patches)
+    R[0, 0, :2, 2:] = 3.0     # patch 1
+    R[0, 0, 2:, :2] = -5.0    # patch 2 (ReLU'd away)
+    R[0, 0, 2:, 2:] = 2.0     # patch 3
+    order = np.asarray(rank_patches(jnp.asarray(R), 2))
+    np.testing.assert_array_equal(order[0, 0], [1, 3, 0, 2])
+
+
+def test_aupc_formula():
+    preds = np.array([[4.0, 2.0], [2.0, 2.0], [0.0, 2.0]])  # [steps+1, batch]
+    flips = np.array([0, 1, 3])
+    aupc = calculate_aupc(preds, flips, n_classes=2)
+    # frac = [[1,0],[1,0]]; weights = [1/4, 1]
+    np.testing.assert_allclose(aupc, [[1.25], [0.0]])
+
+
+class _TinyModel:
+    """Linear 'model': logit c = sum of pixels in quadrant c (2 classes)."""
+
+    def __call__(self, x):
+        x = np.asarray(x)
+        top = x[:, 0, :x.shape[2] // 2].sum(axis=(1, 2))
+        bottom = x[:, 0, x.shape[2] // 2:].sum(axis=(1, 2))
+        return jnp.asarray(np.stack([top, bottom], axis=1))
+
+
+def sequential_flipper_oracle(forward_func, x, R, p):
+    """Direct sequential re-implementation of the reference loop
+    (core.py:106-136) for the constant mode."""
+    b, c, h, w = x.shape
+    gh, gw = h // p, w // p
+    P = gh * gw
+    Rp = np.maximum(np.asarray(R).reshape(b, -1, h, w), 0)
+    k = Rp.shape[1]
+    patches = Rp.reshape(b, k, gh, p, gw, p).sum(axis=(3, 5)).reshape(b, k, -1)
+    order = np.argsort(-patches, axis=-1, kind="stable")
+
+    def class_scores(logits):
+        n_classes = logits.shape[1]
+        ids = np.repeat(np.arange(n_classes), max(b // n_classes, 1))[:b]
+        return np.maximum(np.asarray(logits)[np.arange(b), ids], 0)
+
+    preds = [class_scores(forward_func(jnp.asarray(x)))]
+    masks = np.ones((b, c, h, w), np.float32)
+    flips = [0]
+    flipped = 0
+    cur = x.copy()
+    while flipped < P:
+        n = min(len(flips) ** 2, P - flipped)
+        idx = order[..., flipped:flipped + n]  # [b, k, n]
+        step_mask = np.ones((b, c, h, w), np.float32)
+        for bi in range(b):
+            for ki in range(k):
+                for pi in idx[bi, ki]:
+                    r, cc = pi // gw, pi % gw
+                    step_mask[bi, :, r * p:(r + 1) * p, cc * p:(cc + 1) * p] = 0
+        masks *= step_mask
+        cur = x * masks
+        preds.append(class_scores(forward_func(jnp.asarray(cur))))
+        flips.append(n)
+        flipped += n
+    preds = np.stack(preds)
+    return calculate_aupc(preds, np.array(flips), preds.shape[1] // (b // preds[0].shape[0]) if False else 2), preds
+
+
+def test_flipper_matches_sequential_oracle(rng):
+    model = _TinyModel()
+    b, h, w, p = 4, 8, 8, 2
+    x = np.abs(rng.standard_normal((b, 1, h, w))).astype(np.float32)
+    R = rng.standard_normal((b, 1, 1, h, w)).astype(np.float32)
+
+    flipper = Flipper(perturbation_size=p)
+    aupc, mean_logits, flips = flipper(model, x, R)
+
+    aupc_ref, preds_ref = sequential_flipper_oracle(model, x, R.reshape(b, 1, h, w), p)
+    np.testing.assert_allclose(aupc, aupc_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flipper_concept_mode_matches_oracle(rng):
+    """Multi-concept flipping: union of per-concept top patches per step."""
+    model = _TinyModel()
+    b, h, w, p, K = 2, 8, 8, 2, 3
+    x = np.abs(rng.standard_normal((b, 1, h, w))).astype(np.float32)
+    R = rng.standard_normal((b, K, 1, h, w)).astype(np.float32)
+    flipper = Flipper(perturbation_size=p)
+    aupc, _, _ = flipper(model, x, R)
+    aupc_ref, _ = sequential_flipper_oracle(model, x, R[:, :, 0], p)
+    np.testing.assert_allclose(aupc, aupc_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flipper_random_mode(rng):
+    model = _TinyModel()
+    x = np.abs(rng.standard_normal((2, 1, 8, 8))).astype(np.float32)
+    flipper = Flipper(perturbation_size=2, seed=1)
+    aupc, mean_logits, flips = flipper(model, x, None, flipping_mode="random")
+    assert aupc.shape == (2, 1)
+    assert mean_logits.shape == (len(quadratic_schedule(16)) + 1,)
+    # final step: everything flipped -> logits 0
+    np.testing.assert_allclose(mean_logits[-1], 0.0, atol=1e-6)
+
+
+def test_flipper_relevant_first_drops_faster(rng):
+    """Flipping by true relevance drops the class logit faster than random
+    flipping. In the reference's AUPC weighting (late steps weigh more,
+    core.py:291-312) a faster drop means a SMALLER AUPC — 'we hope AUPC is
+    smallest' (cpf.py:106-107)."""
+    model = _TinyModel()
+    b, h, w = 2, 16, 16
+    x = np.abs(rng.standard_normal((b, 1, h, w))).astype(np.float32) + 0.5
+    # true relevance of class c IS the quadrant content
+    R = np.zeros((b, 1, 1, h, w), np.float32)
+    R[0, ..., :8, :] = x[0, 0, :8][None]
+    R[1, ..., 8:, :] = x[1, 0, 8:][None]
+    flipper = Flipper(perturbation_size=4)
+    aupc_rel, _, _ = flipper(model, x, R)
+    aupc_rand, _, _ = flipper(model, x, R, flipping_mode="random")
+    assert aupc_rel.mean() < aupc_rand.mean()
+
+
+def test_inpainting_mode_runs(rng):
+    model = _TinyModel()
+    x = np.abs(rng.standard_normal((2, 1, 8, 8))).astype(np.float32)
+    R = rng.standard_normal((2, 1, 1, 8, 8)).astype(np.float32)
+    flipper = Flipper(perturbation_size=4, perturbation_mode="inpainting")
+    aupc, _, _ = flipper(model, x, R)
+    assert np.all(np.isfinite(aupc))
+
+
+def test_metrics(rng):
+    RU = np.abs(rng.standard_normal((6, 4, 8, 8))).astype(np.float32)
+    s, se = separability(RU)
+    p, pe = peakness(RU)
+    assert np.isfinite(s) and np.isfinite(p)
+    manual_peak = RU.max(axis=(-2, -1)).sum(1).mean()
+    np.testing.assert_allclose(p, manual_peak, rtol=1e-6)
+    f = frobenius_distance(RU, 4)
+    assert f > 0
