@@ -1,0 +1,208 @@
+"""Benchmark: end-to-end explained clips/sec (log-mel + LRP + DRSA subspace
+heatmaps) on TPU vs the reference pipeline on CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference (sharckhai/drsa-audio) publishes no numbers and its exact stack
+(zennit/torchaudio) is not installed here, so the CPU denominator is a
+faithful torch-CPU re-implementation of the reference's algorithm as written:
+per-clip torch STFT -> HTK mel -> log -> (K+1)x repeat-interleaved batch ->
+hook-style LRP backward through the projection model (the reference's scheme,
+explainer.py:92 + attribute.py:42-60). The TPU numerator is this framework's
+fused jitted pipeline (single-pass split backward).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+CASE = "gtzan"          # flagship: 3 s GTZAN model on 128x128 mels
+K = 4                   # DRSA subspaces at layer_idx 10 (d = 64)
+LAYER_IDX = 10
+TPU_BATCH = 64
+TPU_ITERS = 10
+CPU_BATCH = 4
+CPU_ITERS = 2
+
+
+def build_model():
+    import jax
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, gtzan_3s_config
+    cfg = gtzan_3s_config()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    return cfg, specs, params
+
+
+def tpu_clips_per_sec(specs, params):
+    import jax
+    import jax.numpy as jnp
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.ops.frontend import FrontendConfig, logmel, peak_normalize
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
+
+    fe = FrontendConfig.for_case(CASE)
+    d = 64
+    U = random_orthogonal(jax.random.PRNGKey(7), d)
+    specs_proj = insert_projection(specs, LAYER_IDX, U, K)
+    composite = class_composite(LRP_NAME_MAP_GTZAN, K)
+
+    @jax.jit
+    def explain(wavs):
+        x = peak_normalize(wavs)
+        mels = logmel(x, fe)[:, None]
+        heat, _ = subspace_heatmaps(specs_proj, params, mels, composite, K,
+                                    class_idx=0)
+        return heat
+
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal(
+        (TPU_BATCH, fe.sample_rate * fe.slice_length)).astype(np.float32))
+    # warmup / compile
+    np.asarray(explain(wavs))
+    t0 = time.perf_counter()
+    for _ in range(TPU_ITERS):
+        out = explain(wavs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return TPU_BATCH * TPU_ITERS / dt
+
+
+def cpu_reference_clips_per_sec(specs, params):
+    """Reference-style pipeline in torch on CPU (algorithm as written)."""
+    import torch
+    import torch.nn.functional as F
+    import lrp_torch_oracle as oracle
+    from drsa_audio_tpu.ops.mel import mel_filterbank
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
+    from drsa_audio_tpu.models.projection import insert_projection
+    import jax
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    sr, n_fft, hop, n_mels, width = 16000, 800, 360, 128, 128
+    fb = torch.tensor(mel_filterbank(n_fft // 2 + 1, n_mels, sr))
+
+    d = 64
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    U_np = np.asarray(random_orthogonal(jax.random.PRNGKey(7), d))
+    specs_proj = insert_projection(specs, LAYER_IDX, U_np, K)
+
+    name_map = list(LRP_NAME_MAP_GTZAN)
+    name_map.append(("features.projection", ("epsilon", {"epsilon": 1e-6})))
+    name_map.append(("features.invprojection", ("epsilon", {"epsilon": 1e-6})))
+    rules_by_name = {n: r for n, r in name_map}
+
+    U_t = torch.tensor(U_np)
+
+    def layer_fwd(spec, x):
+        kind = spec.kind
+        if kind == "conv":
+            p = params[spec.name]
+            return F.conv2d(x, torch.tensor(np.asarray(p["w"])),
+                            torch.tensor(np.asarray(p["b"])), padding="same")
+        if kind == "linear":
+            p = params[spec.name]
+            return x @ torch.tensor(np.asarray(p["w"])).T + torch.tensor(np.asarray(p["b"]))
+        if kind == "relu":
+            return F.relu(x)
+        if kind == "maxpool":
+            return F.max_pool2d(x, spec.config["kernel"])
+        if kind == "flatten":
+            return x.reshape(x.shape[0], -1)
+        if kind == "dropout":
+            return x
+        if kind == "projection":
+            b, ch, h, w = x.shape
+            v = x.reshape(b, ch, h * w).transpose(-2, -1)
+            return (v @ U_t).reshape(b, h * w, K, d // K)
+        if kind == "subspacefilter":
+            return x
+        if kind == "invprojection":
+            b, n = x.shape[0], x.shape[1]
+            side = int(round(n ** 0.5))
+            rec = x.reshape(b, n, d) @ U_t.T
+            return rec.transpose(-2, -1).reshape(b, d, side, side)
+        raise ValueError(kind)
+
+    def subspace_mask_backward(R):
+        b_total, n, kk, d_k = R.shape
+        R = R.reshape(-1, K + 1, n, kk, d_k).clone()
+        eye = torch.eye(K)[None, :, None, :, None]
+        R[:, 1:] = R[:, 1:] * eye
+        return R.reshape(b_total, n, kk, d_k)
+
+    def explain_batch(wavs):
+        x = torch.tensor(wavs)
+        x = x / x.abs().amax(dim=-1, keepdim=True)
+        spec = torch.stft(x, n_fft, hop, window=torch.hann_window(n_fft),
+                          center=True, pad_mode="reflect", return_complex=True)
+        mel = torch.matmul(spec.abs().transpose(-1, -2), fb).transpose(-1, -2)
+        mel = torch.clamp(torch.log10(mel + 1e-7), min=-4)[..., 1:width + 1]
+        mels = mel[:, None]
+        # reference scheme: repeat each instance (K+1) times, one LRP pass
+        xr = mels.repeat_interleave(K + 1, dim=0)
+        acts = []
+        h = xr
+        for spec_l in specs_proj:
+            acts.append(h)
+            h = layer_fwd(spec_l, h)
+        logits = h
+        mask = torch.zeros_like(logits)
+        mask[..., 0] = 1.0
+        R = logits * mask
+        for i in range(len(specs_proj) - 1, -1, -1):
+            spec_l = specs_proj[i]
+            a_in = acts[i]
+            rule = rules_by_name.get(spec_l.name)
+            if spec_l.kind == "subspacefilter":
+                R = subspace_mask_backward(R)
+            elif rule is not None and spec_l.kind in ("conv", "linear"):
+                rule_name, kw = rule
+                p = params[spec_l.name]
+                aw = oracle.make_apply_with(
+                    "conv" if spec_l.kind == "conv" else "linear",
+                    torch.tensor(np.asarray(p["w"])),
+                    torch.tensor(np.asarray(p["b"])))
+                R = oracle.RULES[rule_name](aw, a_in, R, **kw)
+            elif rule is not None and spec_l.kind in ("projection", "invprojection"):
+                f = lambda t, s=spec_l: layer_fwd(s, t)
+                z = f(a_in)
+                s_ = R / oracle.stabilize(z, 1e-6)
+                R = a_in * oracle._vjp(f, a_in, s_)
+            else:
+                R = oracle._vjp(lambda t, s=spec_l: layer_fwd(s, t), a_in, R)
+        return R.reshape(-1, K + 1, *mels.shape[1:])
+
+    rng = np.random.default_rng(0)
+    wavs = rng.standard_normal((CPU_BATCH, sr * 3)).astype(np.float32)
+    explain_batch(wavs)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(CPU_ITERS):
+        explain_batch(wavs)
+    dt = time.perf_counter() - t0
+    return CPU_BATCH * CPU_ITERS / dt
+
+
+def main():
+    cfg, specs, params = build_model()
+    cpu_rate = cpu_reference_clips_per_sec(specs, params)
+    tpu_rate = tpu_clips_per_sec(specs, params)
+    print(json.dumps({
+        "metric": "explained_clips_per_sec_e2e",
+        "value": round(tpu_rate, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,15 +106,24 @@ def build_layer_specs(cfg: VGGConfig) -> list[LayerSpec]:
     return specs
 
 
-def init_params(specs: Sequence[LayerSpec], key: jax.Array) -> dict:
-    """Kaiming-uniform init matching torch defaults (fan_in, a=sqrt(5))."""
+def init_params(specs: Sequence[LayerSpec], key: jax.Array,
+                scheme: str = "he") -> dict:
+    """Parameter initialization.
+
+    scheme='he' (default): Kaiming-uniform with ReLU gain sqrt(2) — keeps
+    activation scale through deep no-BN stacks (the torch default, a=sqrt(5),
+    attenuates ~2x per block and stalls narrow nets).
+    scheme='torch': torch's Conv2d/Linear default (a=sqrt(5)) for parity
+    experiments.
+    """
+    gain_sq = 2.0 if scheme == "he" else 2.0 / 6.0
     params: dict[str, Any] = {}
     for spec in specs:
         if spec.kind == "conv":
             kh, kw = spec.config["kernel"]
             in_ch, out_ch = spec.config["in_ch"], spec.config["out_ch"]
             fan_in = in_ch * kh * kw
-            bound_w = np.sqrt(6.0 / ((1 + 5) * fan_in))  # kaiming_uniform a=sqrt(5)
+            bound_w = np.sqrt(3.0 * gain_sq / fan_in)
             bound_b = 1.0 / np.sqrt(fan_in)
             key, k1, k2 = jax.random.split(key, 3)
             params[spec.name] = {
@@ -124,7 +133,7 @@ def init_params(specs: Sequence[LayerSpec], key: jax.Array) -> dict:
             }
         elif spec.kind == "linear":
             in_f, out_f = spec.config["in_f"], spec.config["out_f"]
-            bound_w = np.sqrt(6.0 / ((1 + 5) * in_f))
+            bound_w = np.sqrt(3.0 * gain_sq / in_f)
             bound_b = 1.0 / np.sqrt(in_f)
             key, k1, k2 = jax.random.split(key, 3)
             params[spec.name] = {

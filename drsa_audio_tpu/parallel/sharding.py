@@ -1,0 +1,137 @@
+"""Device-mesh sharding for dataset-scale pipelines.
+
+The reference is single-process single-device (SURVEY.md §2.11). Here the
+parallel axis is the DATA (clips / chunks / classes): every pipeline —
+training, attribution, DRSA extraction, pixel flipping — is a pure jitted
+program over a batch axis, so scaling out is one ``jax.sharding`` annotation:
+XLA partitions the program and inserts the ICI collectives (psum for loss/
+grad reductions) automatically. No TP/PP is warranted for a ~5M-param CNN.
+
+Works identically on a real TPU slice and on the virtual
+``xla_force_host_platform_device_count`` CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
+    """Place an array with its leading axis split across the mesh."""
+    spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())), x)
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Pad the batch axis up to a multiple (for even sharding); returns
+    (padded, original_len)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        pad = np.zeros((rem,) + x.shape[1:], x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    return x, n
+
+
+def sharded_heatmaps(specs, params, composite, mesh: Mesh, class_idx: int):
+    """Build a mesh-sharded standard-heatmap program: input batch sharded on
+    'data', params replicated; returns the jitted fn."""
+    from drsa_audio_tpu.xai.lrp.engine import lrp, output_mask_class
+
+    in_sharding = NamedSharding(mesh, P("data", None, None, None))
+    out_sharding = NamedSharding(mesh, P("data", None, None, None))
+
+    @jax.jit
+    def run(x):
+        R, logits, _ = lrp(specs, params, x, composite,
+                           output_mask_class(class_idx))
+        return R
+
+    return lambda x: run(jax.device_put(jnp.asarray(x), in_sharding))
+
+
+def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
+                             num_concepts: int, class_idx: int,
+                             frontend_config=None):
+    """The fused clip -> mel -> subspace-heatmaps program, batch-sharded.
+
+    If frontend_config is given the input is raw waveforms [b, T]; otherwise
+    precomputed mels [b, 1, h, w].
+    """
+    from drsa_audio_tpu.xai.explain import subspace_heatmaps
+    from drsa_audio_tpu.ops.frontend import logmel, peak_normalize
+
+    @jax.jit
+    def run(x):
+        if frontend_config is not None:
+            x = peak_normalize(x)
+            x = logmel(x, frontend_config)[:, None]
+        heat, logits = subspace_heatmaps(
+            specs_proj, params, x, composite, num_concepts,
+            class_idx=class_idx)
+        return heat
+
+    ndim = 2 if frontend_config is not None else 4
+    in_sharding = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    return lambda x: run(jax.device_put(jnp.asarray(x), in_sharding))
+
+
+def sharded_drsa_extraction(specs, params, composite, mesh: Mesh,
+                            layer_idx: int, class_idx: int,
+                            num_locations: int | None = None):
+    """Batch-sharded act/ctx vector extraction (the getdrsadata hot loop)."""
+    from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+
+    @jax.jit
+    def run(x, key):
+        return preprocess_data(specs, params, x, composite, layer_idx,
+                               class_idx, num_locations=num_locations, key=key)
+
+    in_sharding = NamedSharding(mesh, P("data", None, None, None))
+    return lambda x, key: run(jax.device_put(jnp.asarray(x), in_sharding), key)
+
+
+def make_sharded_train_step(specs, optimizer, mesh: Mesh,
+                            per_example_mel=None, has_bn: bool = False):
+    """Data-parallel train step: batch sharded on 'data', params replicated.
+    XLA inserts the gradient all-reduce (the loss is a global mean)."""
+    from drsa_audio_tpu.models.train import make_train_step
+
+    step = make_train_step(specs, optimizer, per_example_mel, has_bn)
+    batch_ndim = 2 if per_example_mel is not None else 4
+    batch_sharding = NamedSharding(mesh, P("data", *([None] * (batch_ndim - 1))))
+    label_sharding = NamedSharding(mesh, P("data"))
+
+    def sharded_step(trainable, state, opt_state, batch, labels, key):
+        batch = jax.device_put(jnp.asarray(batch), batch_sharding)
+        labels = jax.device_put(jnp.asarray(labels), label_sharding)
+        return step(trainable, state, opt_state, batch, labels, key)
+
+    return sharded_step
+
+
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host initialization (jax.distributed) for pod-scale runs over
+    DCN; no-op on a single host."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Extract DRSA training data (act/ctx vectors) per class x layer.
+
+Reference cxai/xai/drsa/cluster/getdrsadata.py:63-141, mesh-sharded over the
+clip batch. Saves .npz per class/layer instead of pickles.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="ExperimentConfig JSON")
+    ap.add_argument("--case", choices=["gtzan", "toy"], default="toy")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--checkpoint", required=True, help="orbax ckpt dir")
+    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--layers", type=int, nargs="+")
+    ap.add_argument("--num-locations", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from drsa_audio_tpu.utils.config import ExperimentConfig
+    from drsa_audio_tpu.models.vgg import build_layer_specs, fold_batchnorm
+    from drsa_audio_tpu.models.train import load_checkpoint, merge_params
+    from drsa_audio_tpu.xai.lrp.engine import Composite
+    from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+    from drsa_audio_tpu.data.datasets import get_songs_drsa, get_songs_toy
+    from drsa_audio_tpu.utils.constants import (
+        CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
+    )
+
+    if args.config:
+        cfg = ExperimentConfig.load(args.config)
+    elif args.case == "toy":
+        cfg = ExperimentConfig.toy_default()
+    else:
+        cfg = ExperimentConfig()
+    layers = args.layers or list(cfg.drsa.layer_idcs)
+
+    ckpt = load_checkpoint(args.checkpoint, args.epoch)
+    params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
+    specs = build_layer_specs(cfg.vgg_config())
+    specs, params = fold_batchnorm(specs, params)
+    composite = Composite.from_list(cfg.lrp_name_map)
+
+    mapper = CLASS_IDX_MAPPER if cfg.case == "gtzan" else CLASS_IDX_MAPPER_TOY
+    key = jax.random.PRNGKey(cfg.drsa.seed)
+    for cls, class_idx in mapper.items():
+        if cfg.case == "gtzan":
+            batch, _ = get_songs_drsa(args.data, cls,
+                                      excluded_folds=[cfg.train.validation_fold],
+                                      num_chunks=cfg.drsa.chunks_per_song)
+        else:
+            batch, _ = get_songs_toy(args.data, cls)
+        for layer_idx in layers:
+            key, sub = jax.random.split(key)
+            act, ctx = preprocess_data(
+                specs, params, jnp.asarray(batch), composite, layer_idx,
+                class_idx, num_locations=args.num_locations, key=sub)
+            out_dir = os.path.join(args.out, cls)
+            os.makedirs(out_dir, exist_ok=True)
+            np.savez(os.path.join(out_dir, f"dataset_layer{layer_idx}.npz"),
+                     activations=np.asarray(act), contexts=np.asarray(ctx))
+            print(f"{cls} layer {layer_idx}: {np.asarray(act).shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Optimize DRSA subspaces for every class x layer.
+
+Reference cxai/xai/drsa/cluster/optsubspaces.py:8-64 — but all restarts run
+as one vmapped program per (class, layer) instead of sequential loops.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True, help="extract_drsa_data output root")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-concepts", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ortho", choices=["ns", "eigh"], default="ns")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from drsa_audio_tpu.xai.drsa.optimizer import fit
+    from drsa_audio_tpu.xai.drsa.preprocessing import normalize_vectors
+    from drsa_audio_tpu.utils.evaluation import save_drsa_run
+
+    for cls in sorted(os.listdir(args.data)):
+        cls_dir = os.path.join(args.data, cls)
+        if not os.path.isdir(cls_dir):
+            continue
+        for fname in sorted(os.listdir(cls_dir)):
+            if not fname.startswith("dataset_layer"):
+                continue
+            layer = fname[len("dataset_layer"):-len(".npz")]
+            data = np.load(os.path.join(cls_dir, fname))
+            act = np.asarray(normalize_vectors(jnp.asarray(data["activations"])))
+            ctx = np.asarray(normalize_vectors(jnp.asarray(data["contexts"])))
+            res = fit(act, ctx, num_concepts=args.num_concepts,
+                      steps=args.steps, runs=args.runs, seed=args.seed,
+                      ortho_method=args.ortho)
+            for run in range(args.runs):
+                run_dir = os.path.join(args.out, cls, f"layer{layer}",
+                                       f"run{run + 1}")
+                save_drsa_run(run_dir, res.U[run], res.objectives[run])
+            print(f"{cls} layer {layer}: best run {int(res.best_run) + 1}, "
+                  f"objective {float(res.objectives[int(res.best_run), -1]):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Sharding tests on the virtual 8-device CPU mesh: sharded programs must
+produce identical results to single-device runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config, forward
+from drsa_audio_tpu.models.projection import insert_projection
+from drsa_audio_tpu.models.train import make_optimizer, split_trainable
+from drsa_audio_tpu.xai.lrp.engine import Composite, compute_relevances
+from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+from drsa_audio_tpu.parallel.sharding import (
+    get_mesh, shard_batch, sharded_heatmaps, sharded_explain_pipeline,
+    make_sharded_train_step, pad_to_multiple,
+)
+from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+
+
+@pytest.fixture(scope="module")
+def toy_model():
+    cfg = toy_config()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    return specs, params
+
+
+def test_mesh_has_8_devices():
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_heatmaps_match_single_device(toy_model, rng):
+    specs, params = toy_model
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    x = rng.standard_normal((8, 1, 64, 64)).astype(np.float32)
+
+    mesh = get_mesh()
+    fn = sharded_heatmaps(specs, params, composite, mesh, class_idx=0)
+    R_sharded = np.asarray(fn(x))
+
+    R_single = np.asarray(compute_relevances(
+        specs, params, jnp.asarray(x), composite, class_idx=0))
+    np.testing.assert_allclose(R_sharded, R_single, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_explain_pipeline_from_waveform(toy_model, rng):
+    from drsa_audio_tpu.ops.frontend import FrontendConfig
+    specs, params = toy_model
+    K, d = 4, 16
+    U = random_orthogonal(jax.random.PRNGKey(3), d)
+    specs_proj = insert_projection(specs, 10, U, K)
+    composite = class_composite(LRP_NAME_MAP_TOY, K)
+    cfg = FrontendConfig.for_case("toy")
+
+    wavs = rng.standard_normal((8, 16000)).astype(np.float32)
+    mesh = get_mesh()
+    fn = sharded_explain_pipeline(specs_proj, params, composite, mesh, K,
+                                  class_idx=1, frontend_config=cfg)
+    heat = np.asarray(fn(wavs))
+    assert heat.shape == (8, K + 1, 64, 64)
+    assert np.all(np.isfinite(heat))
+
+
+def test_sharded_train_step_matches_single(toy_model, rng):
+    specs, params = toy_model
+    opt = make_optimizer(1e-3)
+    trainable, state = split_trainable(params)
+    opt_state = opt.init(trainable)
+
+    mels = rng.standard_normal((8, 1, 64, 64)).astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int32)
+    key = jax.random.PRNGKey(1)
+
+    from drsa_audio_tpu.models.train import make_train_step
+    step_single = make_train_step(specs, opt)
+    t1, s1, o1, loss1, acc1 = step_single(trainable, state, opt_state,
+                                          jnp.asarray(mels), jnp.asarray(labels), key)
+
+    mesh = get_mesh()
+    step_sharded = make_sharded_train_step(specs, opt, mesh)
+    t2, s2, o2, loss2, acc2 = step_sharded(trainable, state, opt_state,
+                                           mels, labels, key)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for name in t1:
+        for k in t1[name]:
+            np.testing.assert_allclose(np.asarray(t1[name][k]),
+                                       np.asarray(t2[name][k]),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_pad_to_multiple():
+    x = np.ones((5, 3), np.float32)
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape == (8, 3) and n == 5
+    y, m = pad_to_multiple(np.ones((8, 2)), 8)
+    assert y.shape == (8, 2) and m == 8
