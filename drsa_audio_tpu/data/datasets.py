@@ -142,14 +142,14 @@ def get_songs_toy(datapath: str, sample_class: str, split=None, N=None,
 
 def get_data_main(datapath: str, samples_per_class: int, fold=None,
                   genre=None, num_chunks: int = 1, num_folds: int = 5,
-                  seed: int = 42):
+                  seed: int = 42, genres: Dict[str, int] = CLASS_IDX_MAPPER):
     """Balanced evaluation batch: samples_per_class clips per genre x
     num_chunks slices, consecutive class order, local seeded RNG
     (reference prep.py:14-72)."""
     exclude = (list(np.delete(np.arange(1, num_folds + 1), fold - 1))
                if fold else None)
     sample_dict = get_songlist(datapath, genre, exclude, num_folds,
-                               return_list=False)
+                               return_list=False, genres=genres)
     local = pyrandom.Random(seed)
     loader = Loader("gtzan")
     batch, loaded = [], []

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Concept-level evaluation sweep: concept flipping / random-U baseline /
+separability+peakness over K x layer grids, plus a standard-LRP AUPC
+baseline.
+
+Reference cxai/xai/pixelflipping/cpf.py:241-476 (perform_cf, sep_and_peak,
+main).
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config")
+    ap.add_argument("--case", choices=["gtzan", "toy"], default="gtzan")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--subspaces", required=True,
+                    help="optimize_subspaces output root")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--algorithms", nargs="+", default=["drsa", "random"])
+    ap.add_argument("--num-concepts", type=int, nargs="+", default=[2, 4, 8, 16])
+    ap.add_argument("--layers", type=int, nargs="+", default=[1, 4, 7, 10, 13])
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from drsa_audio_tpu.utils.config import ExperimentConfig
+    from drsa_audio_tpu.models.vgg import build_layer_specs, fold_batchnorm
+    from drsa_audio_tpu.models.train import load_checkpoint, merge_params
+    from drsa_audio_tpu.data.datasets import get_data_main
+    from drsa_audio_tpu.xai.eval.harness import (
+        PixelFlipping, concept_flipping, cf_random_subspace,
+    )
+    from drsa_audio_tpu.xai.eval.metrics import separability, peakness
+    from drsa_audio_tpu.utils.evaluation import load_projection_matrix
+    from drsa_audio_tpu.utils.constants import (
+        CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
+        SUBSPACE_DIMS_GTZAN, SUBSPACE_DIMS_TOY,
+    )
+
+    if args.config:
+        cfg = ExperimentConfig.load(args.config)
+    elif args.case == "toy":
+        cfg = ExperimentConfig.toy_default()
+    else:
+        cfg = ExperimentConfig()
+
+    ckpt = load_checkpoint(args.checkpoint, args.epoch)
+    params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
+    specs = build_layer_specs(cfg.vgg_config())
+    specs, params = fold_batchnorm(specs, params)
+    mapper = CLASS_IDX_MAPPER if cfg.case == "gtzan" else CLASS_IDX_MAPPER_TOY
+    dims = SUBSPACE_DIMS_GTZAN if cfg.case == "gtzan" else SUBSPACE_DIMS_TOY
+
+    batch, _ = get_data_main(args.data, cfg.eval.samples_per_class,
+                             fold=cfg.train.validation_fold,
+                             num_chunks=cfg.eval.num_chunks)
+    os.makedirs(args.out, exist_ok=True)
+
+    for alg in args.algorithms:
+        for k in args.num_concepts:
+            sep_rows, peak_rows = [], []
+            for li, layer_idx in enumerate(args.layers):
+                if alg == "random":
+                    RU = cf_random_subspace(specs, params, batch,
+                                            cfg.lrp_name_map, layer_idx,
+                                            dim=dims[li], num_concepts=k,
+                                            case=cfg.case)
+                    aupc = None
+                else:
+                    Us = {cls: load_projection_matrix(
+                        os.path.join(args.subspaces, f"{k}_concepts", cls,
+                                     f"layer{layer_idx}"))
+                        for cls in mapper}
+                    aupc, _, _, RU = concept_flipping(
+                        specs, params, batch, cfg.lrp_name_map, layer_idx,
+                        Us, num_concepts=k, case=cfg.case,
+                        perturbation_size=cfg.eval.perturbation_size)
+                    np.save(os.path.join(
+                        args.out, f"{alg}_aupcs_k{k}_layer{layer_idx}.npy"), aupc)
+                s, se = separability(RU)
+                p, pe = peakness(RU)
+                sep_rows.append((s, se))
+                peak_rows.append((p, pe))
+                print(f"{alg} K={k} layer={layer_idx}: sep={s:.4f} peak={p:.4f}"
+                      + (f" aupc={aupc.mean():.4f}" if aupc is not None else ""))
+            np.save(os.path.join(args.out, f"{alg}_sep_peak_k{k}.npy"),
+                    np.array([sep_rows, peak_rows]))
+
+    # standard-LRP AUPC baseline (cpf.py:461-472)
+    pf = PixelFlipping(specs, params, batch,
+                       perturbation_size=cfg.eval.perturbation_size,
+                       num_classes=len(mapper))
+    grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+             "first_layer": ("wsquare",)}]
+    aupc_scores, _, _, _ = pf(grid, scaled_gamma=True)
+    for name, scores in aupc_scores.items():
+        np.save(os.path.join(args.out, "standard_R.npy"), scores)
+        print(f"standard LRP ({name}): AUPC {scores.mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Dataset list utilities and batch loaders over a synthetic on-disk corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from drsa_audio_tpu.data.datasets import (
+    get_songs_of_genre, get_songlist, get_toy_samplelist,
+    shuffle_and_truncate, Loader, get_data_main, ToyWaveDataset,
+)
+from drsa_audio_tpu.data.toydata import generate_dataset
+from drsa_audio_tpu.runtime.wavio import write_wav
+from drsa_audio_tpu.utils.config import ExperimentConfig
+
+
+@pytest.fixture(scope="module")
+def gtzan_corpus(tmp_path_factory):
+    """Tiny synthetic GTZAN-like corpus: 2 genres x 4 clips x 30 s, 5 folds."""
+    root = tmp_path_factory.mktemp("gtzan")
+    rng = np.random.default_rng(0)
+    genres = ["pop", "metal"]
+    folds = {k: [] for k in range(1, 6)}
+    for g in genres:
+        os.makedirs(root / "genres_original" / g)
+        for i in range(4):
+            rel = f"{g}/{g}.{i:05d}.wav"
+            wav = np.clip(rng.standard_normal((1, 30 * 16000)) * 0.2, -1, 1).astype(np.float32)
+            write_wav(str(root / "genres_original" / rel), wav, 16000)
+            folds[i % 5 + 1].append(rel)
+    os.makedirs(root / "5folds")
+    for k, items in folds.items():
+        with open(root / "5folds" / f"fold_{k}.txt", "w") as f:
+            f.write("\n".join(items) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def toy_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toy")
+    generate_dataset(str(root), datapoints_per_class=6, seed=0)
+    return str(root)
+
+
+def test_get_songs_of_genre_excludes_folds(gtzan_corpus):
+    all_pop = get_songs_of_genre(gtzan_corpus, "pop", None, 5)
+    assert len(all_pop) == 4
+    sub = get_songs_of_genre(gtzan_corpus, "pop", [1], 5)
+    assert len(sub) < 4
+    assert all("pop" in p for p in sub)
+
+
+def test_get_songlist_dict(gtzan_corpus):
+    d = get_songlist(gtzan_corpus, return_list=False,
+                     genres={"pop": 0, "metal": 1})
+    assert set(d) == {"pop", "metal"}
+    assert all(os.path.exists(p) for p in d["pop"])
+
+
+def test_toy_samplelist_and_dataset(toy_corpus):
+    lst = get_toy_samplelist(toy_corpus)
+    assert len(lst) == 12
+    c1 = get_toy_samplelist(toy_corpus, toyclass="class1")
+    assert all("class1" in p for p in c1)
+    ds = ToyWaveDataset(toy_corpus, "train", batch_size=4)
+    wavs, labels = next(iter(ds))
+    assert wavs.shape[1] == 16000
+    assert set(labels.tolist()) <= {0, 1}
+
+
+def test_loader_gtzan_shapes(gtzan_corpus):
+    loader = Loader("gtzan")
+    songs = get_songs_of_genre(gtzan_corpus, "pop", None, 5)
+    mels = loader.load(songs[0], num_chunks=8)
+    assert np.asarray(mels).shape == (8, 1, 128, 128)
+
+
+def test_get_data_main_balanced(gtzan_corpus):
+    batch, loaded = get_data_main(gtzan_corpus, samples_per_class=2,
+                                  num_chunks=2, genres={"pop": 0, "metal": 1})
+    assert batch.shape == (2 * 2 * 2, 1, 128, 128)  # genres x samples x chunks
+    assert len(loaded) == 4
+
+
+def test_shuffle_and_truncate_deterministic(rng):
+    data = np.arange(10)[:, None].astype(np.float32)
+    songs = [f"s{i}" for i in range(10)]
+    d1, s1 = shuffle_and_truncate(data, songs, 5, seed=7)
+    d2, s2 = shuffle_and_truncate(data, songs, 5, seed=7)
+    np.testing.assert_array_equal(d1, d2)
+    assert s1 == s2
+    assert len(s1) == 5
+
+
+def test_experiment_config_roundtrip(tmp_path):
+    cfg = ExperimentConfig.toy_default()
+    path = str(tmp_path / "cfg.json")
+    cfg.save(path)
+    loaded = ExperimentConfig.load(path)
+    assert loaded.case == "toy"
+    assert loaded.model.n_classes == 2
+    assert loaded.drsa.num_concepts == 2
+    vgg = loaded.vgg_config()
+    assert vgg.n_filters == (8, 8, 16, 16, 16)
