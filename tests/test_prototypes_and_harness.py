@@ -1,0 +1,105 @@
+"""Prototype discovery, PixelFlipping harness sweep, and interclass flipping
+on a small toy model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config
+from drsa_audio_tpu.xai.lrp.engine import Composite
+from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+from drsa_audio_tpu.xai.drsa.prototypes import get_prototypes, subset_objectives
+from drsa_audio_tpu.xai.eval.harness import (
+    PixelFlipping, interclass_concept_flipping, configuration_name, make_rule,
+    scaled_gamma_name_map,
+)
+from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+
+
+@pytest.fixture(scope="module")
+def toy_model():
+    cfg = toy_config()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    return specs, params
+
+
+def test_subset_objectives_shape(rng):
+    d, K, n, L = 8, 2, 5, 3
+    U = random_orthogonal(jax.random.PRNGKey(0), d)
+    act = jnp.asarray(rng.standard_normal((20, L, d)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((20, L, d)).astype(np.float32))
+    objs = subset_objectives(act, ctx, U, K, n)
+    assert objs.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(objs)))
+
+
+def test_get_prototypes(toy_model, rng):
+    specs, params = toy_model
+    d, K = 16, 2
+    U = random_orthogonal(jax.random.PRNGKey(1), d)
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    batch = rng.standard_normal((12, 1, 64, 64)).astype(np.float32)
+    pa, pc, best, objs = get_prototypes(
+        specs, params, 10, U, composite, batch, num_concepts=K, n=4,
+        class_idx=0)
+    assert objs.shape == (3,)
+    assert 0 <= best < 3
+    assert best == int(np.argmax(objs))
+    assert pa.shape[-1] == d
+    assert pa.shape[0] == 4 * 64  # n instances x (8x8 spatial positions)
+
+
+def test_pixelflipping_harness_sweep(toy_model, rng):
+    specs, params = toy_model
+    batch = rng.standard_normal((4, 1, 64, 64)).astype(np.float32)
+    pf = PixelFlipping(specs, params, batch, perturbation_size=16,
+                       num_classes=2)
+    grid = [
+        {"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+         "first_layer": ("wsquare",)},
+        {"convolutional": ("zplus",), "dense": ("epsilon", 1e-7),
+         "first_layer": ("flat",)},
+    ]
+    aupcs, logits, flips, heatmaps = pf(grid)
+    assert len(aupcs) == 2
+    for key, val in aupcs.items():
+        assert val.shape == (2, 2)
+        assert np.all(np.isfinite(val))
+    assert len(heatmaps) == 2
+    # scaled-gamma variant
+    aupcs2, _, _, _ = pf([grid[0]], scaled_gamma=True)
+    assert len(aupcs2) >= 1
+
+
+def test_configuration_name():
+    conf = {"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+            "first_layer": ("wsquare",)}
+    assert configuration_name(conf) == "gamma_0.4_epsilon_1e-07_wsquare"
+
+
+def test_scaled_gamma_name_map(toy_model):
+    specs, _ = toy_model
+    nm = scaled_gamma_name_map(specs, 0.4, 1e-7)
+    d = dict(nm)
+    assert d["features.0"][0] == "wsquare"
+    assert d["features.3"][1]["gamma"] == 0.4
+    assert d["features.9"][1]["gamma"] == 0.2
+    assert d["features.12"][1]["gamma"] == 0.1
+    assert d["classifier.0"][0] == "epsilon"
+
+
+def test_interclass_concept_flipping_small(toy_model, rng):
+    specs, params = toy_model
+    d, K = 16, 2
+    U1 = np.asarray(random_orthogonal(jax.random.PRNGKey(2), d))
+    U2 = np.asarray(random_orthogonal(jax.random.PRNGKey(3), d))
+    batch = rng.standard_normal((4, 1, 64, 64)).astype(np.float32)
+    out = interclass_concept_flipping(
+        specs, params, batch, LRP_NAME_MAP_TOY,
+        Us_by_layer={10: {"class1": U1, "class2": U2}},
+        layer_idcs=(10,), num_concepts=K, case="toy", perturbation_size=16)
+    assert len(out) == 1
+    assert out[0].shape == (2, 2)
+    assert np.all(np.isfinite(out[0]))
