@@ -83,6 +83,15 @@ def shuffle_and_truncate(data_batch: np.ndarray, songlist: List[str],
     return data_batch, songs
 
 
+def get_songlist_random(path: str, num_folds: int = 5) -> List[str]:
+    """Concatenate all fold lists (reference dataloading.py:302-311)."""
+    songs = []
+    for fold in range(1, num_folds + 1):
+        with open(os.path.join(path, f"fold_{fold}.txt")) as f:
+            songs.extend(line.strip() for line in f if line.strip())
+    return songs
+
+
 # --------------------------------------------------------- batch loaders
 
 class Loader:

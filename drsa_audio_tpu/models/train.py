@@ -286,12 +286,28 @@ def fit(
     model_path: str | None = None,
     save_step: int = 100,
     from_epoch: int = 0,
+    resume_from: str | None = None,
     verbose: bool = False,
 ):
-    """Epoch loop over train/valid phases (reference fit, train.py:16-131)."""
+    """Epoch loop over train/valid phases (reference fit, train.py:16-131).
+
+    resume_from: checkpoint directory to restore params + optimizer state +
+    PRNG key from (elastic recovery; the reference's manual-resume flow,
+    train.py:310-315). from_epoch is then taken from the checkpoint.
+    """
     optimizer = make_optimizer(lr, momentum, weight_decay)
-    trainable, state = split_trainable(params)
-    opt_state = optimizer.init(trainable)
+    if resume_from is not None:
+        ckpt = load_checkpoint(resume_from, from_epoch)
+        trainable, state = ckpt["trainable"], ckpt.get("state") or {}
+        # orbax restores nested dicts/lists; refit the leaves onto the
+        # optimizer's own state structure
+        template = optimizer.init(trainable)
+        leaves = [jnp.asarray(x) for x in jax.tree.leaves(ckpt["opt_state"])]
+        opt_state = jax.tree.unflatten(jax.tree.structure(template), leaves)
+        from_epoch = int(ckpt["epoch"])
+    else:
+        trainable, state = split_trainable(params)
+        opt_state = optimizer.init(trainable)
     train_step = make_train_step(specs, optimizer, per_example_mel, has_bn)
     eval_step = make_eval_step(specs)
     key = jax.random.PRNGKey(seed)

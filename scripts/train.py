@@ -16,6 +16,8 @@ def main():
     ap.add_argument("--epochs", type=int)
     ap.add_argument("--lr", type=float)
     ap.add_argument("--batch-size", type=int)
+    ap.add_argument("--resume-epoch", type=int,
+                    help="resume from checkpoint at this epoch in --out")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +89,8 @@ def main():
         seed=cfg.train.seed,
         model_path=cfg.model_path,
         save_step=cfg.train.save_step,
+        resume_from=cfg.model_path if args.resume_epoch else None,
+        from_epoch=args.resume_epoch or 0,
         verbose=True,
     )
     print("final valid acc:", stats.valid_acc[-1])

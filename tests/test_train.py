@@ -123,3 +123,74 @@ def test_fit_and_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(forward(specs, out, x)),
                                np.asarray(forward(specs, restored, x)),
                                rtol=1e-5)
+
+
+def test_fit_resume(tmp_path, rng):
+    """Resume restores params + optimizer state and continues training."""
+    cfg = small_cfg()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    mels = rng.standard_normal((8, 1, 64, 64)).astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int32)
+
+    def batches():
+        yield mels, labels
+
+    out1, _ = fit(specs, params, batches, batches, num_epochs=2, lr=1e-3,
+                  has_bn=True, model_path=str(tmp_path), save_step=2)
+    out2, _ = fit(specs, params, batches, batches, num_epochs=1, lr=1e-3,
+                  has_bn=True, resume_from=str(tmp_path), from_epoch=2)
+    # resumed run trained one more epoch on top of the checkpoint
+    x = jnp.asarray(mels[:2])
+    a = np.asarray(forward(specs, out1, x))
+    b = np.asarray(forward(specs, out2, x))
+    assert not np.allclose(a, b)
+
+
+def test_gtzan_train_smoke(tmp_path, rng):
+    """One real training epoch over the synthetic GTZAN-like corpus using
+    the wave dataset + fused gtzan augmentation pipeline."""
+    import os
+    from drsa_audio_tpu.data.datasets import GtzanWaveDataset
+    from drsa_audio_tpu.runtime.wavio import write_wav
+
+    root = tmp_path / "corpus"
+    genres = ["pop", "metal"]
+    folds = {k: [] for k in range(1, 6)}
+    for g in genres:
+        os.makedirs(root / "genres_original" / g)
+        for i in range(3):
+            rel = f"{g}/{g}.{i:05d}.wav"
+            wav = np.clip(rng.standard_normal((1, 30 * 16000)) * 0.2, -1, 1).astype(np.float32)
+            write_wav(str(root / "genres_original" / rel), wav, 16000)
+            folds[i % 5 + 1].append(rel)
+    os.makedirs(root / "5folds")
+    for k, items in folds.items():
+        with open(root / "5folds" / f"fold_{k}.txt", "w") as f:
+            f.write("\n".join(items) + "\n")
+
+    fe = FrontendConfig.for_case("gtzan")
+    ds = GtzanWaveDataset(str(root), "train", validation_fold=1, batch_size=2)
+    cfg = VGGConfig(n_filters=(4, 8), pool_kernels=((4, 4), (4, 4)),
+                    n_dense=16, n_classes=2, dropout=0.1, block_depth=1,
+                    dense_depth=1, input_size=(128, 128), conv_bn=True,
+                    dense_bn=False)
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3)
+    trainable, state = split_trainable(params)
+    opt_state = opt.init(trainable)
+    step = make_train_step(
+        specs, opt,
+        per_example_mel=lambda w, k: gtzan_augment_and_mel(w, k, fe, True, True),
+        has_bn=True)
+    key = jax.random.PRNGKey(0)
+    n_batches = 0
+    for wavs, labels in ds:
+        key, sub = jax.random.split(key)
+        trainable, state, opt_state, loss, acc = step(
+            trainable, state, opt_state, jnp.asarray(wavs),
+            jnp.asarray(labels), sub)
+        assert np.isfinite(float(loss))
+        n_batches += 1
+    assert n_batches >= 2
