@@ -33,6 +33,7 @@ from drsa_audio_tpu.xai.lrp.engine import (
     output_mask_class,
     output_mask_all_classes,
     _apply_factory,
+    _specialize_rule,
     _RULE_LAYERS,
 )
 from drsa_audio_tpu.xai.lrp.rules import RULES
@@ -64,7 +65,8 @@ def _lrp_segment_backward(specs, params, acts, R, composite):
         if rule is not None and spec.kind in _RULE_LAYERS and spec.kind != "subspacefilter":
             rule_name, kwargs = rule
             apply_with = _apply_factory(spec, params)
-            R = RULES[rule_name](apply_with, a_in, R, **kwargs)
+            R = RULES[_specialize_rule(rule_name, specs, i)](
+                apply_with, a_in, R, **kwargs)
         else:
             fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)
             _, vjp = jax.vjp(fwd, a_in)

@@ -117,6 +117,21 @@ def _apply_factory(spec: LayerSpec, params: dict):
 _RULE_LAYERS = ("conv", "linear", "projection", "invprojection", "subspacefilter")
 
 
+def _specialize_rule(rule_name: str, specs, i: int) -> str:
+    """Use the cheaper non-negative-input gamma when the layer input is
+    provably >= 0: preceded by ReLU, possibly through MaxPools (pooling
+    preserves sign only over non-negative inputs, so the chain must end at a
+    ReLU)."""
+    if rule_name != "gamma":
+        return rule_name
+    j = i - 1
+    while j >= 0 and specs[j].kind == "maxpool":
+        j -= 1
+    if j >= 0 and specs[j].kind == "relu":
+        return "gamma_nonneg"
+    return rule_name
+
+
 def lrp(
     specs: Sequence[LayerSpec],
     params: dict,
@@ -169,7 +184,8 @@ def lrp(
                 R = RULES["subspace_mask"](None, a_in, R, **kwargs)
             else:
                 apply_with = _apply_factory(spec, params)
-                R = RULES[rule_name](apply_with, a_in, R, **kwargs)
+                R = RULES[_specialize_rule(rule_name, specs, i)](
+                    apply_with, a_in, R, **kwargs)
         else:
             # unmapped layer: plain vjp at the recorded input
             fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)

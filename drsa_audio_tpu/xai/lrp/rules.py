@@ -121,6 +121,37 @@ def lrp_gamma(apply_with: ApplyFactory, x, R, *, gamma: float = 0.25,
     return xp * c1 + xn * c2 + xp * c3 + xn * c4
 
 
+def lrp_gamma_nonneg(apply_with: ApplyFactory, x, R, *, gamma: float = 0.25,
+                     stabilizer: float = 1e-6, **_):
+    """Gamma rule specialized for provably non-negative inputs (post-ReLU /
+    MaxPool): with x- = 0 the x- vjp branches vanish identically
+    (x- * c = 0), leaving 2 vjps instead of 4. The x- combos still
+    contribute their BIAS terms to the denominators: z2 = f(0; ., b + g*b-)
+    (constant-folded conv of zeros) and z4 = f(0; ., 0) = 0. Exactly equal to
+    lrp_gamma on non-negative x (tested)."""
+    def gmod_pos(p):
+        return p + gamma * jnp.maximum(p, 0.0)
+
+    def gmod_neg(p):
+        return p + gamma * jnp.minimum(p, 0.0)
+
+    f1 = apply_with(gmod_pos, gmod_pos)   # (x, w + g*w+, b + g*b+)
+    f2 = apply_with(gmod_neg, gmod_neg)   # bias term only (input is zero)
+    f3 = apply_with(gmod_neg, _zero)      # (x, w + g*w-, 0)
+    f_true = apply_with(_identity, _identity)
+
+    z1, vjp1 = jax.vjp(f1, x)
+    z2 = f2(jnp.zeros_like(x))
+    z3, vjp3 = jax.vjp(f3, x)
+    z_true = f_true(x)
+
+    pos_mask = (z_true > 0.0).astype(R.dtype)
+    neg_mask = (z_true < 0.0).astype(R.dtype)
+    (c1,) = vjp1(R * pos_mask / stabilize(z1 + z2, stabilizer))
+    (c3,) = vjp3(R * neg_mask / stabilize(z3, stabilizer))
+    return x * (c1 + c3)
+
+
 def lrp_wsquare(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
     def sq(p):
         return p * p
@@ -186,6 +217,7 @@ def lrp_subspace_mask(apply_with: ApplyFactory, x, R, *, num_concepts: int = 4, 
 RULES = {
     "epsilon": lrp_epsilon,
     "gamma": lrp_gamma,
+    "gamma_nonneg": lrp_gamma_nonneg,
     "zplus": lrp_zplus,
     "alphabeta": lrp_alphabeta,
     "flat": lrp_flat,

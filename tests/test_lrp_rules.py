@@ -148,3 +148,18 @@ def test_subspace_mask_semantics(rng):
         for kp in range(K):
             if kp != k:
                 assert np.all(out[:, k + 1, :, kp] == 0)
+
+
+def test_gamma_nonneg_equals_general_on_nonneg_input(rng):
+    """The specialized rule must be bit-comparable to the generalized rule
+    whenever x >= 0, including nonzero biases and mixed-sign outputs."""
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32) * 0.5
+    b = rng.standard_normal(4).astype(np.float32) * 0.5
+    x = np.abs(rng.standard_normal((2, 2, 8, 8))).astype(np.float32)
+    R = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    aw = conv_apply_with_factory(w, b)
+    a = np.asarray(jrules.lrp_gamma(aw, jnp.asarray(x), jnp.asarray(R),
+                                    gamma=0.4, stabilizer=1e-7))
+    c = np.asarray(jrules.lrp_gamma_nonneg(aw, jnp.asarray(x), jnp.asarray(R),
+                                           gamma=0.4, stabilizer=1e-7))
+    np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-6)
