@@ -209,6 +209,26 @@ class ToyWaveDataset:
             yield wavs, self.labels[sel]
 
 
+def get_toydata_loaders(data_path: str, batch_size: int = 16, seed: int = 42):
+    """(train, valid, test) toy feeds (reference toy_dataset.py:230-238)."""
+    return (ToyWaveDataset(data_path, "train", batch_size, seed),
+            ToyWaveDataset(data_path, "valid", batch_size, seed),
+            ToyWaveDataset(data_path, "test", batch_size, seed))
+
+
+def get_data_loaders(data_path: str, batch_size: int = 16,
+                     validation_fold: int = 1, seed: int = 42):
+    """(train, valid) GTZAN feeds (reference gtzan_dataset.py:351-388); the
+    valid feed batches whole clips — slice with
+    models.train.valid_chunks_to_mels on device."""
+    from drsa_audio_tpu.utils.constants import AUDIO_PARAMS
+    vbs = max(batch_size // AUDIO_PARAMS["gtzan"]["num_chunks"], 1)
+    return (GtzanWaveDataset(data_path, "train", validation_fold, batch_size,
+                             seed=seed),
+            GtzanWaveDataset(data_path, "valid", validation_fold, vbs,
+                             seed=seed))
+
+
 class GtzanWaveDataset:
     """Host-side GTZAN training feed: 29 s waveforms + labels
     (slicing/augment on device)."""

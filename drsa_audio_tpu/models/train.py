@@ -339,7 +339,7 @@ def fit(
                   f"{stats.train_acc[-1]*100:.1f}% valid {stats.valid_losses[-1]:.4f}/"
                   f"{stats.valid_acc[-1]*100:.1f}%")
 
-        if model_path and epoch % save_step == 0:
+        if model_path and (epoch % save_step == 0 or epoch == num_epochs):
             os.makedirs(model_path, exist_ok=True)
             save_checkpoint(model_path, trainable, state, opt_state,
                             epoch + from_epoch, key)
