@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 CASE = "gtzan"          # flagship: 3 s GTZAN model on 128x128 mels
 K = 4                   # DRSA subspaces at layer_idx 10 (d = 64)
 LAYER_IDX = 10
-TPU_BATCH = 64
-TPU_ITERS = 10
+TPU_BATCH = 256
+TPU_ITERS = 8
 CPU_BATCH = 4
 CPU_ITERS = 2
 

@@ -139,3 +139,41 @@ def test_drsa_pipeline_end_to_end(trained_toy):
     audios = m2a.make_audios(info, wavs[0], num_concepts=K)
     assert len(audios) == K + 1
     assert all(np.all(np.isfinite(a)) for a in audios)
+
+
+def test_drsa_subspaces_beat_random_on_separability(trained_toy):
+    """The reference's quantitative self-check (cpf.py:192-233, 297-371):
+    DRSA-optimized subspaces should separate relevance into concepts better
+    than a random orthogonal U, measured by the separability metric on
+    subspace heatmaps."""
+    from drsa_audio_tpu.xai.eval.metrics import separability
+    specs, params, fe, _, mel_fn = trained_toy
+    K, layer_idx, d = 2, 10, 16
+
+    wavs = generate_batch(np.random.default_rng(11), "class1", 32,
+                          concept_idcs=(1, 2, 3, 4))
+    mels = jax.vmap(lambda w: mel_fn(w, jax.random.PRNGKey(0)))(jnp.asarray(wavs))
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+
+    act, ctx = preprocess_data(specs, params, mels, composite, layer_idx,
+                               class_idx=0, num_locations=16,
+                               key=jax.random.PRNGKey(5))
+    act_n, ctx_n = normalize_vectors(act), normalize_vectors(ctx)
+    res = drsa_fit_runs(np.asarray(act_n), np.asarray(ctx_n), num_concepts=K,
+                        steps=400, runs=3, seed=1)
+    U_opt = np.asarray(res.U[int(res.best_run)])
+
+    def heatmaps_for(U):
+        gen = HeatmapGenerator(specs=specs, params=params, U=U,
+                               name_map=LRP_NAME_MAP_TOY, sample_class="class1",
+                               num_concepts=K, layer_idx=layer_idx)
+        return gen.generate_subspace_heatmaps(np.asarray(mels),
+                                              concept_flipping=True)
+
+    sep_opt, _ = separability(np.maximum(heatmaps_for(U_opt), 0))
+    seps_rand = []
+    for seed in (101, 202, 303):
+        U_r = np.asarray(random_orthogonal(jax.random.PRNGKey(seed), d))
+        s, _ = separability(np.maximum(heatmaps_for(U_r), 0))
+        seps_rand.append(s)
+    assert sep_opt > np.mean(seps_rand), (sep_opt, seps_rand)
