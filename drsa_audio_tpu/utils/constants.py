@@ -69,6 +69,28 @@ LRP_NAME_MAP_TOY = [
     ("classifier.4", ("epsilon", {"epsilon": 1e-7})),
 ]
 
+# 6 s GTZAN model (block_depth=2, BN): 13-entry map with decaying gammas
+# (reference getdrsadata.py:87-108). Apply after fold_batchnorm.
+LRP_NAME_MAP_GTZAN_6S = [
+    ("features.0", ("wsquare", {"stabilizer": 1e-7})),
+    ("features.3", ("gamma", {"gamma": 0.3, "stabilizer": 1e-7})),
+    ("features.7", ("gamma", {"gamma": 0.3, "stabilizer": 1e-7})),
+    ("features.10", ("gamma", {"gamma": 0.3, "stabilizer": 1e-7})),
+    ("features.14", ("gamma", {"gamma": 0.3 / 2, "stabilizer": 1e-7})),
+    ("features.17", ("gamma", {"gamma": 0.3 / 2, "stabilizer": 1e-7})),
+    ("features.21", ("gamma", {"gamma": 0.3 / 2, "stabilizer": 1e-7})),
+    ("features.24", ("gamma", {"gamma": 0.3 / 2, "stabilizer": 1e-7})),
+    ("features.28", ("gamma", {"gamma": 0.3 / 4, "stabilizer": 1e-7})),
+    ("features.31", ("gamma", {"gamma": 0.3 / 4, "stabilizer": 1e-7})),
+    ("classifier.0", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.4", ("epsilon", {"epsilon": 1e-7})),
+    ("classifier.8", ("epsilon", {"epsilon": 1e-7})),
+]
+
+# DRSA extraction layers for the 6 s model: the deep ReLU outputs
+# (reference getdrsadata.py:119).
+DRSA_LAYERS_GTZAN_6S = [19, 26, 33]
+
 # Subspace dimensionality of the standard 5-block nets at insertion layers
 # [1, 4, 7, 10, 13] (reference cpf.py:260,312).
 SUBSPACE_DIMS_GTZAN = [32, 32, 64, 64, 128]

@@ -136,3 +136,34 @@ def test_lrp_jits_and_vmaps(toy_model, rng):
     x = jnp.asarray(rng.standard_normal((2, 1, 64, 64)).astype(np.float32))
     out = heatmap(x)
     assert out.shape == x.shape
+
+
+def test_gtzan_6s_layer_names_match_reference():
+    """The 6 s model's layer indices must line up with the reference's
+    13-entry name map (getdrsadata.py:87-108) and its DRSA extraction layers
+    {19, 26, 33} must be ReLU outputs."""
+    from drsa_audio_tpu.models.vgg import gtzan_6s_config
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN_6S, DRSA_LAYERS_GTZAN_6S,
+    )
+    specs = build_layer_specs(gtzan_6s_config())
+    kinds = {s.name: s.kind for s in specs}
+    for name, (rule, _) in LRP_NAME_MAP_GTZAN_6S:
+        assert name in kinds, name
+        expect = "linear" if name.startswith("classifier") else "conv"
+        assert kinds[name] == expect, (name, kinds[name])
+    for li in DRSA_LAYERS_GTZAN_6S:
+        assert kinds[f"features.{li}"] == "relu"
+
+
+def test_gtzan_3s_layer_names_match_reference():
+    from drsa_audio_tpu.models.vgg import gtzan_3s_config
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
+    specs = build_layer_specs(gtzan_3s_config())
+    kinds = {s.name: s.kind for s in specs}
+    for name, _ in LRP_NAME_MAP_GTZAN:
+        expect = "linear" if name.startswith("classifier") else "conv"
+        assert kinds.get(name) == expect, (name, kinds.get(name))
+    # insertion layers [1,4,7,10,13] are ReLU outputs (cpf.py:141)
+    for li in (1, 4, 7, 10, 13):
+        assert kinds[f"features.{li}"] == "relu"
