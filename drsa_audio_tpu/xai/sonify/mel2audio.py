@@ -113,6 +113,20 @@ class Mel2Audio:
         spec = mag * jnp.asarray(phase)
         return istft(spec[None], self.config.n_fft, self.config.hop_length)[0]
 
+    def transform_audio_from_file(self, path_to_sample: str,
+                                  startpoint: float | None = None):
+        """Load a clip from disk, slice at ``startpoint`` seconds, and return
+        (mel, phase) (reference audiogen.py:160-170)."""
+        from drsa_audio_tpu.runtime.loader import load_audio
+        from drsa_audio_tpu.ops.frontend import get_slice_at
+        wav, sr = load_audio(path_to_sample)
+        assert sr == self.config.sample_rate
+        wav = jnp.asarray(wav[0])
+        if startpoint is not None and self.config.slice_length:
+            wav = get_slice_at(wav, self.config.slice_length, startpoint,
+                               self.config.sample_rate)
+        return self.transform_audio(wav)
+
     def transform_mel(self, mel, phase):
         """Round-trip quality check: invert an unmasked mel
         (audiogen.py:194-206)."""
