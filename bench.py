@@ -44,10 +44,12 @@ def build_model():
 def tpu_clips_per_sec(specs, params):
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from drsa_audio_tpu.models.projection import insert_projection
     from drsa_audio_tpu.ops.frontend import FrontendConfig, logmel, peak_normalize
     from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
     from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.parallel.sharding import get_mesh
     from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
 
     fe = FrontendConfig.for_case(CASE)
@@ -64,9 +66,15 @@ def tpu_clips_per_sec(specs, params):
                                     class_idx=0)
         return heat
 
+    n_dev = jax.device_count()
+    batch = TPU_BATCH * max(n_dev, 1)
     rng = np.random.default_rng(0)
     wavs = jnp.asarray(rng.standard_normal(
-        (TPU_BATCH, fe.sample_rate * fe.slice_length)).astype(np.float32))
+        (batch, fe.sample_rate * fe.slice_length)).astype(np.float32))
+    if n_dev > 1:
+        # scale over the slice: shard the clip axis, XLA partitions the program
+        mesh = get_mesh()
+        wavs = jax.device_put(wavs, NamedSharding(mesh, P("data", None)))
     # warmup / compile
     np.asarray(explain(wavs))
     t0 = time.perf_counter()
@@ -74,7 +82,7 @@ def tpu_clips_per_sec(specs, params):
         out = explain(wavs)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return TPU_BATCH * TPU_ITERS / dt
+    return batch * TPU_ITERS / dt
 
 
 def cpu_reference_clips_per_sec(specs, params):
