@@ -152,13 +152,36 @@ def init_params(specs: Sequence[LayerSpec], key: jax.Array,
 
 
 def conv2d_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None) -> jnp.ndarray:
-    """3x3 'same' conv, NCHW x OIHW (matches torch Conv2d padding='same')."""
+    """3x3 'same' conv, NCHW x OIHW (matches torch Conv2d padding='same').
+
+    Mixed precision: the input is cast to the weight dtype (bf16 weights ->
+    bf16 MXU passes) while the accumulation/output stays float32.
+    """
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
+        x.astype(w.dtype), w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    ).astype(jnp.float32)
     if b is not None:
-        out = out + b[None, :, None, None]
+        out = out + b.astype(jnp.float32)[None, :, None, None]
+    return out
+
+
+def linear_apply(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dense layer with the same mixed-precision convention."""
+    out = jnp.matmul(x.astype(w.dtype), w.T,
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    return out + b.astype(jnp.float32)
+
+
+def cast_params(params: dict, dtype) -> dict:
+    """Cast conv/linear weights+biases (not BN stats) to ``dtype`` for
+    mixed-precision inference (bf16 on TPU)."""
+    out = {}
+    for name, p in params.items():
+        if isinstance(p, dict) and "w" in p:
+            out[name] = {k: v.astype(dtype) for k, v in p.items()}
+        else:
+            out[name] = p
     return out
 
 
@@ -189,7 +212,7 @@ def apply_layer(
         return conv2d_same(x, p["w"], p.get("b"))
     if kind == "linear":
         p = params[spec.name]
-        return x @ p["w"].T + p["b"]
+        return linear_apply(x, p["w"], p["b"])
     if kind == "relu":
         return jnp.maximum(x, 0.0)
     if kind == "maxpool":

@@ -86,12 +86,13 @@ def _apply_factory(spec: LayerSpec, params: dict):
 
         return apply_with
     if spec.kind == "linear":
+        from drsa_audio_tpu.models.vgg import linear_apply
         p = params[spec.name]
 
         def apply_with(w_mod, b_mod):
             w = w_mod(p["w"])
             b = b_mod(p["b"]) if b_mod is not None else jnp.zeros_like(p["b"])
-            return lambda x: x @ w.T + b
+            return lambda x: linear_apply(x, w, b)
 
         return apply_with
     if spec.kind in ("projection", "invprojection"):

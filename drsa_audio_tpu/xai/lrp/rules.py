@@ -194,6 +194,27 @@ def lrp_alphabeta(apply_with: ApplyFactory, x, R, *, alpha: float = 2.0,
     return alpha * (xp * c1 + xn * c2) - beta * (xp * c3 + xn * c4)
 
 
+def lrp_zbox(apply_with: ApplyFactory, x, R, *, low: float = -1.0,
+             high: float = 1.0, stabilizer: float = 1e-6, **_):
+    """ZBox rule for box-constrained first layers (zennit ZBox; imported by
+    the reference's cluster script, getdrsadata.py:10):
+    z = f(x) - f(l; w+, b+) - f(h; w-, b-) with constant bounds l <= x <= h;
+    R_in = x*c - l*c_l - h*c_h."""
+    l = jnp.full_like(x, low)
+    h = jnp.full_like(x, high)
+    f = apply_with(_identity, _identity)
+    f_pos = apply_with(_pos, _pos)
+    f_neg = apply_with(_neg, _neg)
+    z, vjp = jax.vjp(f, x)
+    zl, vjp_l = jax.vjp(f_pos, l)
+    zh, vjp_h = jax.vjp(f_neg, h)
+    s = R / stabilize(z - zl - zh, stabilizer)
+    (c,) = vjp(s)
+    (cl,) = vjp_l(s)
+    (ch,) = vjp_h(s)
+    return x * c - l * cl - h * ch
+
+
 def lrp_pass(apply_with: ApplyFactory, x, R, **_):
     return R
 
@@ -223,6 +244,7 @@ RULES = {
     "flat": lrp_flat,
     "wsquare": lrp_wsquare,
     "norm": lrp_norm,
+    "zbox": lrp_zbox,
     "pass": lrp_pass,
     "subspace_mask": lrp_subspace_mask,
 }

@@ -177,3 +177,15 @@ def torch_lrp(specs, params, x_np, name_map, class_idx, one_hot=False):
         else:
             R = _vjp(lambda t, s=spec: torch_layer_forward(s, params, t), a_in, R)
     return R.numpy(), logits.detach().numpy()
+
+
+def zbox_rule(apply_with, x, R, low=-1.0, high=1.0, stabilizer=1e-6):
+    l = torch.full_like(x, low)
+    h = torch.full_like(x, high)
+    pos = lambda p: p.clamp(min=0)
+    neg = lambda p: p.clamp(max=0)
+    ident = lambda p: p
+    f, f_pos, f_neg = apply_with(ident, ident), apply_with(pos, pos), apply_with(neg, neg)
+    z = f(x) - f_pos(l) - f_neg(h)
+    s = R / stabilize(z, stabilizer)
+    return x * _vjp(f, x, s) - l * _vjp(f_pos, l, s) - h * _vjp(f_neg, h, s)

@@ -167,3 +167,18 @@ def test_gtzan_3s_layer_names_match_reference():
     # insertion layers [1,4,7,10,13] are ReLU outputs (cpf.py:141)
     for li in (1, 4, 7, 10, 13):
         assert kinds[f"features.{li}"] == "relu"
+
+
+def test_bf16_params_heatmap_correlation(toy_model, rng):
+    """Mixed-precision mode: bf16 weights with f32 accumulation must keep
+    heatmap correlation above the 0.99 parity gate."""
+    from drsa_audio_tpu.models.vgg import cast_params
+    _, specs, params = toy_model
+    x = rng.standard_normal((4, 1, 64, 64)).astype(np.float32)
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    R32, _, _ = lrp(specs, params, jnp.asarray(x), composite, output_mask_class(0))
+    params16 = cast_params(params, jnp.bfloat16)
+    R16, _, _ = lrp(specs, params16, jnp.asarray(x), composite, output_mask_class(0))
+    assert R16.dtype == jnp.float32
+    corr = np.corrcoef(np.asarray(R32).ravel(), np.asarray(R16).ravel())[0, 1]
+    assert corr > 0.99, corr

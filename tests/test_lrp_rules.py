@@ -163,3 +163,26 @@ def test_gamma_nonneg_equals_general_on_nonneg_input(rng):
     c = np.asarray(jrules.lrp_gamma_nonneg(aw, jnp.asarray(x), jnp.asarray(R),
                                            gamma=0.4, stabilizer=1e-7))
     np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-6)
+
+
+def test_zbox_matches_torch_oracle(conv_case):
+    w, b, x, R = conv_case
+    got = np.asarray(jrules.lrp_zbox(
+        conv_apply_with_factory(w, b), jnp.asarray(x), jnp.asarray(R),
+        low=-2.0, high=2.0, stabilizer=1e-6))
+    ref = oracle.zbox_rule(
+        oracle.make_apply_with("conv", torch.tensor(w), torch.tensor(b)),
+        torch.tensor(x), torch.tensor(R), low=-2.0, high=2.0).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_zbox_conservation_zero_bias(rng):
+    """ZBox conserves relevance with zero bias (sum over inputs == sum R)."""
+    w = rng.standard_normal((6, 10)).astype(np.float32)
+    b = np.zeros(6, np.float32)
+    x = rng.uniform(-1, 1, (4, 10)).astype(np.float32)
+    R = np.abs(rng.standard_normal((4, 6))).astype(np.float32)
+    got = np.asarray(jrules.lrp_zbox(
+        linear_apply_with_factory(w, b), jnp.asarray(x), jnp.asarray(R),
+        low=-1.0, high=1.0, stabilizer=1e-9))
+    np.testing.assert_allclose(got.sum(axis=1), R.sum(axis=1), rtol=1e-3)
