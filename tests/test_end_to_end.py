@@ -177,3 +177,49 @@ def test_drsa_subspaces_beat_random_on_separability(trained_toy):
         s, _ = separability(np.maximum(heatmaps_for(U_r), 0))
         seps_rand.append(s)
     assert sep_opt > np.mean(seps_rand), (sep_opt, seps_rand)
+
+
+def test_concept_recovery_analysis(trained_toy):
+    """Band-assignment tooling on DRSA subspaces: profiles are valid
+    distributions over mel bins and the diversity metric is higher for
+    optimized subspaces than for a duplicate-heatmap degenerate case."""
+    from drsa_audio_tpu.xai.eval.concept_recovery import (
+        band_energy_profiles, toy_concept_mel_bands, band_assignment,
+        profile_diversity,
+    )
+    specs, params, fe, _, mel_fn = trained_toy
+    K, layer_idx, d = 2, 10, 16
+
+    wavs = generate_batch(np.random.default_rng(21), "class1", 24,
+                          concept_idcs=(1, 2, 3, 4))
+    mels = jax.vmap(lambda w: mel_fn(w, jax.random.PRNGKey(0)))(jnp.asarray(wavs))
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    act, ctx = preprocess_data(specs, params, mels, composite, layer_idx,
+                               class_idx=0, num_locations=16,
+                               key=jax.random.PRNGKey(5))
+    res = drsa_fit_runs(np.asarray(normalize_vectors(act)),
+                        np.asarray(normalize_vectors(ctx)),
+                        num_concepts=K, steps=300, runs=2, seed=3)
+    U = np.asarray(res.U[int(res.best_run)])
+    gen = HeatmapGenerator(specs=specs, params=params, U=U,
+                           name_map=LRP_NAME_MAP_TOY, sample_class="class1",
+                           num_concepts=K, layer_idx=layer_idx)
+    RU = gen.generate_subspace_heatmaps(np.asarray(mels), concept_flipping=True)
+
+    prof = band_energy_profiles(RU)
+    assert prof.shape == (K, 64)
+    np.testing.assert_allclose(prof.sum(axis=-1), 1.0, rtol=1e-4)
+
+    bands = toy_concept_mel_bands("class1")
+    assert set(bands) == {1, 2, 3, 4}
+    for lo, hi in bands.values():
+        assert 0 <= lo < hi <= 64
+
+    shares, assignment, coverage = band_assignment(RU, "class1")
+    assert shares.shape == (K, 4)
+    assert 1 <= coverage <= K
+
+    div_opt = profile_diversity(RU)
+    div_degenerate = profile_diversity(np.repeat(RU[:, :1], K, axis=1))
+    assert div_opt > div_degenerate
+    assert div_degenerate < 1e-6
