@@ -23,7 +23,6 @@ from drsa_audio_tpu.models.vgg import LayerSpec
 from drsa_audio_tpu.models.projection import insert_projection
 from drsa_audio_tpu.ops.frontend import FrontendConfig, logmel, peak_normalize
 from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps, sort_subspaces
-from drsa_audio_tpu.xai.lrp.engine import Composite, lrp, output_mask_class
 from drsa_audio_tpu.runtime.loader import load_audio
 
 

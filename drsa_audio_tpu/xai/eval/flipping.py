@@ -182,7 +182,6 @@ class Flipper:
         c = x.shape[1]
         current = x.copy()
         out = np.empty((steps,) + x.shape, np.float32)
-        prev_keep = np.ones_like(pixel_masks[0])
         for s in range(steps):
             hole = (pixel_masks[s] < 0.5).astype(np.uint8)  # cumulative hole
             imgs = current[:, 0]
@@ -203,5 +202,4 @@ class Flipper:
                 filled = np.where(hole > 0, norm, imgs)
             current = filled[:, None]
             out[s] = current
-            prev_keep = pixel_masks[s]
         return out.reshape(steps, b, c, *x.shape[-2:])

@@ -6,6 +6,10 @@ optimize DRSA subspaces, evaluate, and save plots + explanation audios.
 Run: python scripts/demo_toy_workflow.py --out demo_out [--per-class 160]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 
@@ -110,6 +114,17 @@ def main():
             [info["subspace_heatmaps"][0, k] for k in range(K)], case="toy",
             suptitle="class1 sample: standard + subspace explanations")
         fig.savefig(os.path.join(args.out, "explanations.png"), dpi=120)
+
+    with timer.phase("concept_recovery"):
+        from drsa_audio_tpu.xai.eval.concept_recovery import (
+            band_assignment, profile_diversity,
+        )
+        RU = gen.generate_subspace_heatmaps(np.asarray(mels1),
+                                            concept_flipping=True)
+        shares, assignment, coverage = band_assignment(RU, "class1")
+        print(f"subspace->concept band assignment: {assignment} "
+              f"(coverage {coverage}/{K}; diversity "
+              f"{profile_diversity(RU):.3f})")
 
     with timer.phase("flipping"):
         x2 = generate_batch(np.random.default_rng(8), "class2", 8,

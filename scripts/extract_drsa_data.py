@@ -5,6 +5,10 @@ Reference cxai/xai/drsa/cluster/getdrsadata.py:63-141, mesh-sharded over the
 clip batch. Saves .npz per class/layer instead of pickles.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -2,6 +2,10 @@
 """Generate the synthetic toy dataset (reference notebook
 dataprep/toydata/generate_toydata.ipynb as a deterministic CLI)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -5,6 +5,10 @@ Reference cxai/xai/drsa/cluster/optsubspaces.py:8-64 — but all restarts run
 as one vmapped program per (class, layer) instead of sequential loops.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -7,6 +7,10 @@ Reference cxai/xai/pixelflipping/cpf.py:241-476 (perform_cf, sep_and_peak,
 main).
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

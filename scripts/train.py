@@ -2,6 +2,10 @@
 """Train a classifier (reference cxai/model/train.py:211-374 without the
 hard-coded --conf grids: everything comes from an ExperimentConfig JSON)."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
