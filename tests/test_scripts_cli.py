@@ -18,10 +18,13 @@ def run_script(name, *args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # force jax cpu despite the axon sitecustomize
+    path = os.path.abspath(os.path.join(SCRIPTS, name))
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         f"import sys; sys.argv = ['{name}'] + {list(args)!r};"
-        f"exec(open(r'{os.path.join(SCRIPTS, name)}').read())"
+        f"src = open(r'{path}').read();"
+        f"exec(compile(src, r'{path}', 'exec'), "
+        f"{{'__file__': r'{path}', '__name__': '__main__'}})"
     )
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=560, env=env)
