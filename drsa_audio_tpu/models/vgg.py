@@ -343,6 +343,22 @@ def fold_batchnorm(specs: Sequence[LayerSpec], params: dict, bn_eps: float = 1e-
     return new_specs, new_params
 
 
+def conv_out_shape(input_size, pool_kernels, conv_kernel=(3, 3),
+                   out_filters: int = 128, padding="same", stride: int = 1,
+                   block_depth: int = 2) -> int:
+    """Analytic flattened feature count for architecture grid search
+    (reference get_out_shape, create_model.py:174-211)."""
+    pad = 1 if padding == "same" else 0
+    h, w = input_size
+    for ph, pw in pool_kernels:
+        for _ in range(block_depth):
+            h = (h - conv_kernel[0] + 2 * pad) // stride + 1
+            w = (w - conv_kernel[1] + 2 * pad) // stride + 1
+        h = (h - (ph - 1) - 1) // ph + 1
+        w = (w - (pw - 1) - 1) // pw + 1
+    return int(h * w * out_filters)
+
+
 # Trained configurations used downstream in the reference:
 def gtzan_6s_config() -> VGGConfig:
     """6 s GTZAN model (reference getdrsadata.py:72-73, train.py:271)."""

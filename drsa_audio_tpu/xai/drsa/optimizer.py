@@ -55,6 +55,13 @@ def obj_val(act_vecs, ctx_vecs, U, num_concepts: int):
     return objective_fn(subspace_relevances(act_vecs, ctx_vecs, U, num_concepts))
 
 
+def project_grad(gradient: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """Project the gradient onto the tangent of the orthogonal constraint
+    (reference drsa.py:185-198; unused by the default update rule, provided
+    for Riemannian-ascent experiments)."""
+    return gradient - U.T @ gradient @ U.T
+
+
 def orthogonalize_eigh(U: jnp.ndarray) -> jnp.ndarray:
     """U (U^T U)^{-1/2} via symmetric eigendecomposition (drsa.py:201-221)."""
     UtU = U.T @ U
