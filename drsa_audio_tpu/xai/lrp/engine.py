@@ -75,7 +75,16 @@ def layer_map_composite(
 
 
 def _apply_factory(spec: LayerSpec, params: dict):
-    """Build apply_with(w_mod, b_mod) for a parameterized linear layer."""
+    """Build apply_with(w_mod, b_mod) for a parameterized linear layer.
+
+    The returned callable additionally exposes:
+      .grouped([w_mods], [b_mods]) -> (x -> tuple of z_i): all modified
+          forwards evaluated in ONE kernel (grouped conv / stacked matmul),
+          doubling channel occupancy on the MXU;
+      .bias_of(b_mod) -> broadcastable bias contribution f(0) of a modified
+          layer (free, no conv).
+    Rules use these for fused fast paths when available.
+    """
     if spec.kind == "conv":
         p = params[spec.name]
 
@@ -84,6 +93,32 @@ def _apply_factory(spec: LayerSpec, params: dict):
             b = b_mod(p["b"]) if (b_mod is not None and "b" in p) else None
             return lambda x: conv2d_same(x, w, b)
 
+        def grouped(w_mods, b_mods):
+            g = len(w_mods)
+            w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
+            b_stack = jnp.concatenate([
+                (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+                for m in b_mods], axis=0)
+            c_out = p["w"].shape[0]
+
+            def fn(x):
+                xg = jnp.concatenate([x] * g, axis=1)
+                out = jax.lax.conv_general_dilated(
+                    xg.astype(w_stack.dtype), w_stack, window_strides=(1, 1),
+                    padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    feature_group_count=g,
+                ).astype(jnp.float32)
+                out = out + b_stack.astype(jnp.float32)[None, :, None, None]
+                return tuple(out[:, i * c_out:(i + 1) * c_out] for i in range(g))
+
+            return fn
+
+        def bias_of(b_mod):
+            b = b_mod(p["b"]).astype(jnp.float32)
+            return b[None, :, None, None]
+
+        apply_with.grouped = grouped
+        apply_with.bias_of = bias_of
         return apply_with
     if spec.kind == "linear":
         from drsa_audio_tpu.models.vgg import linear_apply
@@ -94,6 +129,25 @@ def _apply_factory(spec: LayerSpec, params: dict):
             b = b_mod(p["b"]) if b_mod is not None else jnp.zeros_like(p["b"])
             return lambda x: linear_apply(x, w, b)
 
+        def grouped(w_mods, b_mods):
+            w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
+            b_stack = jnp.concatenate([
+                (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+                for m in b_mods], axis=0)
+            n_out = p["w"].shape[0]
+            g = len(w_mods)
+
+            def fn(x):
+                out = linear_apply(x, w_stack, b_stack)
+                return tuple(out[..., i * n_out:(i + 1) * n_out] for i in range(g))
+
+            return fn
+
+        def bias_of(b_mod):
+            return b_mod(p["b"]).astype(jnp.float32)
+
+        apply_with.grouped = grouped
+        apply_with.bias_of = bias_of
         return apply_with
     if spec.kind in ("projection", "invprojection"):
         # Parameterless bilinear layers: the 'weight' is U (static in config).

@@ -135,6 +135,24 @@ def lrp_gamma_nonneg(apply_with: ApplyFactory, x, R, *, gamma: float = 0.25,
     def gmod_neg(p):
         return p + gamma * jnp.minimum(p, 0.0)
 
+    if hasattr(apply_with, "grouped"):
+        # Fused path: both modified forwards in ONE grouped kernel; z_true is
+        # derived algebraically — w+ + w- = w, so
+        # z1 + z3 = conv(x, 2w + g*w) + bias1 = (2+g)*f_true_nobias(x) + bias1.
+        f = apply_with.grouped([gmod_pos, gmod_neg], [gmod_pos, None])
+        (z1, z3), vjp = jax.vjp(f, x)
+        bias1 = apply_with.bias_of(gmod_pos)
+        bias0 = apply_with.bias_of(_identity)
+        z2 = apply_with.bias_of(gmod_neg)
+        z_true = (z1 + z3 - bias1) / (2.0 + gamma) + bias0
+
+        pos_mask = (z_true > 0.0).astype(R.dtype)
+        neg_mask = (z_true < 0.0).astype(R.dtype)
+        s1 = R * pos_mask / stabilize(z1 + z2, stabilizer)
+        s3 = R * neg_mask / stabilize(z3, stabilizer)
+        (c,) = vjp((s1, s3))
+        return x * c
+
     f1 = apply_with(gmod_pos, gmod_pos)   # (x, w + g*w+, b + g*b+)
     f2 = apply_with(gmod_neg, gmod_neg)   # bias term only (input is zero)
     f3 = apply_with(gmod_neg, _zero)      # (x, w + g*w-, 0)

@@ -186,3 +186,40 @@ def test_zbox_conservation_zero_bias(rng):
         linear_apply_with_factory(w, b), jnp.asarray(x), jnp.asarray(R),
         low=-1.0, high=1.0, stabilizer=1e-9))
     np.testing.assert_allclose(got.sum(axis=1), R.sum(axis=1), rtol=1e-3)
+
+
+def test_gamma_nonneg_fused_grouped_path(rng):
+    """The grouped-kernel fast path (engine factory exposes .grouped) must
+    match the generalized gamma rule on non-negative inputs."""
+    from drsa_audio_tpu.models.vgg import LayerSpec
+    from drsa_audio_tpu.xai.lrp.engine import _apply_factory
+
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32) * 0.5
+    b = rng.standard_normal(4).astype(np.float32) * 0.5
+    x = np.abs(rng.standard_normal((2, 2, 8, 8))).astype(np.float32)
+    R = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+
+    spec = LayerSpec("conv", "features.0", {"in_ch": 2, "out_ch": 4,
+                                            "kernel": (3, 3)})
+    params = {"features.0": {"w": jnp.asarray(w), "b": jnp.asarray(b)}}
+    aw = _apply_factory(spec, params)
+    assert hasattr(aw, "grouped")
+    fused = np.asarray(jrules.lrp_gamma_nonneg(
+        aw, jnp.asarray(x), jnp.asarray(R), gamma=0.4, stabilizer=1e-7))
+    general = np.asarray(jrules.lrp_gamma(
+        aw, jnp.asarray(x), jnp.asarray(R), gamma=0.4, stabilizer=1e-7))
+    np.testing.assert_allclose(fused, general, rtol=1e-4, atol=1e-5)
+
+    # linear grouped path
+    wl = rng.standard_normal((5, 8)).astype(np.float32)
+    bl = rng.standard_normal(5).astype(np.float32)
+    xl = np.abs(rng.standard_normal((3, 8))).astype(np.float32)
+    Rl = rng.standard_normal((3, 5)).astype(np.float32)
+    spec_l = LayerSpec("linear", "classifier.0", {"in_f": 8, "out_f": 5})
+    params_l = {"classifier.0": {"w": jnp.asarray(wl), "b": jnp.asarray(bl)}}
+    awl = _apply_factory(spec_l, params_l)
+    fused_l = np.asarray(jrules.lrp_gamma_nonneg(
+        awl, jnp.asarray(xl), jnp.asarray(Rl), gamma=0.8, stabilizer=1e-7))
+    general_l = np.asarray(jrules.lrp_gamma(
+        awl, jnp.asarray(xl), jnp.asarray(Rl), gamma=0.8, stabilizer=1e-7))
+    np.testing.assert_allclose(fused_l, general_l, rtol=1e-4, atol=1e-5)
