@@ -182,3 +182,43 @@ def test_bf16_params_heatmap_correlation(toy_model, rng):
     assert R16.dtype == jnp.float32
     corr = np.corrcoef(np.asarray(R32).ravel(), np.asarray(R16).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_gtzan_6s_structure_lrp_with_bn_folding(rng):
+    """6s-model structure (block_depth=2, conv+dense BN): fold BN, attribute
+    with the 13-entry scaled-gamma map, capture at the DRSA layers
+    {19, 26, 33}. Uses a thin/small variant — the layer NAMES only depend on
+    the block structure, not on widths."""
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN_6S, DRSA_LAYERS_GTZAN_6S,
+    )
+    cfg = VGGConfig(
+        n_filters=(4, 4, 6, 8, 8), n_dense=10,
+        pool_kernels=((2, 4), (2, 2), (2, 2), (2, 2), (2, 2)),
+        dropout=0.3, input_size=(64, 128), n_classes=10,
+        conv_bn=True, dense_bn=True, block_depth=2,
+    )
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    # non-trivial BN stats
+    for s in specs:
+        if s.kind.startswith("batchnorm"):
+            ch = s.config["ch"]
+            params[s.name]["mean"] = jnp.asarray(
+                0.3 * rng.standard_normal(ch), jnp.float32)
+            params[s.name]["var"] = jnp.asarray(
+                1 + 0.4 * np.abs(rng.standard_normal(ch)), jnp.float32)
+    fspecs, fparams = fold_batchnorm(specs, params)
+
+    x = jnp.asarray(rng.standard_normal((2, 1, 64, 128)).astype(np.float32))
+    composite = Composite.from_list(LRP_NAME_MAP_GTZAN_6S)
+    capture = tuple(f"features.{i}" for i in DRSA_LAYERS_GTZAN_6S)
+    R, logits, captured = lrp(fspecs, fparams, x, composite,
+                              output_mask_class(3), capture=capture)
+    assert R.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(R)))
+    assert logits.shape == (2, 10)
+    for name in capture:
+        act, rel = captured[name]
+        assert act.shape == rel.shape
+        assert np.all(np.asarray(act) >= 0)  # ReLU outputs
