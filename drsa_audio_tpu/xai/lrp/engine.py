@@ -117,7 +117,29 @@ def _apply_factory(spec: LayerSpec, params: dict):
             b = b_mod(p["b"]).astype(jnp.float32)
             return b[None, :, None, None]
 
+        def grouped_multi(w_mods, b_mods):
+            """Like grouped, but each group gets its OWN input array."""
+            g = len(w_mods)
+            w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
+            b_stack = jnp.concatenate([
+                (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+                for m in b_mods], axis=0)
+            c_out = p["w"].shape[0]
+
+            def fn(*xs):
+                xg = jnp.concatenate(xs, axis=1)
+                out = jax.lax.conv_general_dilated(
+                    xg.astype(w_stack.dtype), w_stack, window_strides=(1, 1),
+                    padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    feature_group_count=g,
+                ).astype(jnp.float32)
+                out = out + b_stack.astype(jnp.float32)[None, :, None, None]
+                return tuple(out[:, i * c_out:(i + 1) * c_out] for i in range(g))
+
+            return fn
+
         apply_with.grouped = grouped
+        apply_with.grouped_multi = grouped_multi
         apply_with.bias_of = bias_of
         return apply_with
     if spec.kind == "linear":
@@ -146,7 +168,25 @@ def _apply_factory(spec: LayerSpec, params: dict):
         def bias_of(b_mod):
             return b_mod(p["b"]).astype(jnp.float32)
 
+        def grouped_multi(w_mods, b_mods):
+            # one batched matmul: [g, b, in] x [g, out, in] -> [g, b, out]
+            w_stack = jnp.stack([m(p["w"]) for m in w_mods])
+            b_stack = jnp.stack([
+                (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+                for m in b_mods])
+            g = len(w_mods)
+
+            def fn(*xs):
+                xg = jnp.stack(xs).astype(w_stack.dtype)
+                out = jnp.einsum("gbi,goi->gbo", xg, w_stack,
+                                 preferred_element_type=jnp.float32)
+                out = out.astype(jnp.float32) + b_stack.astype(jnp.float32)[:, None, :]
+                return tuple(out[i] for i in range(g))
+
+            return fn
+
         apply_with.grouped = grouped
+        apply_with.grouped_multi = grouped_multi
         apply_with.bias_of = bias_of
         return apply_with
     if spec.kind in ("projection", "invprojection"):

@@ -74,6 +74,12 @@ def lrp_norm(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
 
 def lrp_zplus(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
     xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    if hasattr(apply_with, "grouped_multi"):
+        f = apply_with.grouped_multi([_pos, _neg], [_pos, None])
+        (z1, z2), vjp = jax.vjp(f, xp, xn)
+        s = R / stabilize(z1 + z2, stabilizer)
+        c1, c2 = vjp((s, s))
+        return xp * c1 + xn * c2
     f1 = apply_with(_pos, _pos)           # (x+, w+, b+)
     f2 = apply_with(_neg, _zero)          # (x-, w-, 0)
     z1, vjp1 = jax.vjp(f1, xp)
@@ -96,6 +102,20 @@ def lrp_gamma(apply_with: ApplyFactory, x, R, *, gamma: float = 0.25,
 
     def gmod_neg(p):
         return p + gamma * jnp.minimum(p, 0.0)
+
+    if hasattr(apply_with, "grouped_multi"):
+        # all 5 modified forwards in ONE grouped kernel; vjp likewise
+        f = apply_with.grouped_multi(
+            [gmod_pos, gmod_neg, gmod_neg, gmod_pos, _identity],
+            [gmod_pos, gmod_neg, None, None, _identity])
+        (z1, z2, z3, z4, z_true), vjp = jax.vjp(f, xp, xn, xp, xn, x)
+        pos_mask = (z_true > 0.0).astype(R.dtype)
+        neg_mask = (z_true < 0.0).astype(R.dtype)
+        s_pos = R * pos_mask / stabilize(z1 + z2, stabilizer)
+        s_neg = R * neg_mask / stabilize(z3 + z4, stabilizer)
+        c1, c2, c3, c4, _ = vjp((s_pos, s_pos, s_neg, s_neg,
+                                 jnp.zeros_like(z_true)))
+        return xp * c1 + xn * c2 + xp * c3 + xn * c4
 
     f1 = apply_with(gmod_pos, gmod_pos)   # (x+, w + g*w+, b + g*b+)
     f2 = apply_with(gmod_neg, gmod_neg)   # (x-, w + g*w-, b + g*b-)
@@ -193,6 +213,15 @@ def lrp_flat(apply_with: ApplyFactory, x, R, *, stabilizer: float = 1e-6, **_):
 def lrp_alphabeta(apply_with: ApplyFactory, x, R, *, alpha: float = 2.0,
                   beta: float = 1.0, stabilizer: float = 1e-6, **_):
     xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    if hasattr(apply_with, "grouped_multi"):
+        f = apply_with.grouped_multi([_pos, _neg, _neg, _pos],
+                                     [_pos, None, _neg, None])
+        (z1, z2, z3, z4), vjp = jax.vjp(f, xp, xn, xp, xn)
+        s_a = R / stabilize(z1 + z2, stabilizer)
+        s_b = R / stabilize(z3 + z4, stabilizer)
+        c1, c2, c3, c4 = vjp((s_a, s_a, s_b, s_b))
+        return alpha * (xp * c1 + xn * c2) - beta * (xp * c3 + xn * c4)
+
     f1 = apply_with(_pos, _pos)           # (x+, w+, b+)
     f2 = apply_with(_neg, _zero)          # (x-, w-, 0)
     f3 = apply_with(_neg, _neg)           # (x+, w-, b-)

@@ -223,3 +223,41 @@ def test_gamma_nonneg_fused_grouped_path(rng):
     general_l = np.asarray(jrules.lrp_gamma(
         awl, jnp.asarray(xl), jnp.asarray(Rl), gamma=0.8, stabilizer=1e-7))
     np.testing.assert_allclose(fused_l, general_l, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("rule,kwargs", [
+    ("lrp_gamma", {"gamma": 0.4, "stabilizer": 1e-7}),
+    ("lrp_zplus", {"stabilizer": 1e-6}),
+    ("lrp_alphabeta", {"alpha": 2.0, "beta": 1.0, "stabilizer": 1e-6}),
+])
+def test_fused_multi_group_paths_match_unfused(rng, rule, kwargs):
+    """The grouped_multi fast paths must equal the per-combination paths on
+    mixed-sign inputs (conv + linear)."""
+    from drsa_audio_tpu.models.vgg import LayerSpec
+    from drsa_audio_tpu.xai.lrp.engine import _apply_factory
+
+    w = rng.standard_normal((4, 2, 3, 3)).astype(np.float32) * 0.5
+    b = rng.standard_normal(4).astype(np.float32) * 0.3
+    x = rng.standard_normal((2, 2, 8, 8)).astype(np.float32)
+    R = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    spec = LayerSpec("conv", "features.0", {"in_ch": 2, "out_ch": 4,
+                                            "kernel": (3, 3)})
+    aw_fused = _apply_factory(spec, {"features.0": {"w": jnp.asarray(w),
+                                                    "b": jnp.asarray(b)}})
+    aw_plain = conv_apply_with_factory(w, b)  # lacks grouped attrs
+    fn = getattr(jrules, rule)
+    a = np.asarray(fn(aw_fused, jnp.asarray(x), jnp.asarray(R), **kwargs))
+    c = np.asarray(fn(aw_plain, jnp.asarray(x), jnp.asarray(R), **kwargs))
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    wl = rng.standard_normal((5, 8)).astype(np.float32)
+    bl = rng.standard_normal(5).astype(np.float32)
+    xl = rng.standard_normal((3, 8)).astype(np.float32)
+    Rl = rng.standard_normal((3, 5)).astype(np.float32)
+    spec_l = LayerSpec("linear", "classifier.0", {"in_f": 8, "out_f": 5})
+    awl = _apply_factory(spec_l, {"classifier.0": {"w": jnp.asarray(wl),
+                                                   "b": jnp.asarray(bl)}})
+    a = np.asarray(fn(awl, jnp.asarray(xl), jnp.asarray(Rl), **kwargs))
+    c = np.asarray(fn(linear_apply_with_factory(wl, bl), jnp.asarray(xl),
+                      jnp.asarray(Rl), **kwargs))
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
