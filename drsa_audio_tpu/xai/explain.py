@@ -114,20 +114,23 @@ def subspace_heatmaps(
     R_filter = _lrp_segment_backward(upper, params, acts_upper, R, composite)
     # [b, n, K, d_k]
 
-    # build K+1 maskings: clone 0 = identity, clone k keeps concept k
+    # K maskings only: clone k keeps concept k. The standard heatmap is the
+    # SUM of the K subspace heatmaps — the identity masking equals the sum of
+    # the per-concept maskings and LRP backward is linear in R (property
+    # verified in tests/test_explain.py) — so clone 0 is derived, not
+    # recomputed: 1/(K+1) less lower-backward work than the reference scheme.
     eye = jnp.eye(num_concepts, dtype=R_filter.dtype)
-    masks = jnp.concatenate(
-        [jnp.ones((1, num_concepts), R_filter.dtype), eye], axis=0
-    )  # [K+1, K]
-    R_masked = R_filter[None] * masks[:, None, None, :, None]  # [K+1, b, n, K, d_k]
+    R_masked = R_filter[None] * eye[:, None, None, :, None]  # [K, b, n, K, d_k]
 
-    # lower backward, vmapped over the K+1 clones (linear in R)
+    # lower backward, vmapped over the K clones (linear in R)
     def lower_bwd(Rf):
         return _lrp_segment_backward(lower, params, acts_lower, Rf, composite)
 
-    R_in = jax.vmap(lower_bwd)(R_masked)  # [K+1, b, c, h, w]
-    R_in = jnp.moveaxis(R_in, 0, 1)       # [b, K+1, c, h, w]
-    return R_in[:, :, 0], logits          # channel dim is 1
+    R_sub = jax.vmap(lower_bwd)(R_masked)  # [K, b, c, h, w]
+    R_sub = jnp.moveaxis(R_sub, 0, 1)      # [b, K, c, h, w]
+    R_std = jnp.sum(R_sub, axis=1, keepdims=True)
+    R_in = jnp.concatenate([R_std, R_sub], axis=1)  # [b, K+1, c, h, w]
+    return R_in[:, :, 0], logits           # channel dim is 1
 
 
 def subspace_heatmaps_repeated(
