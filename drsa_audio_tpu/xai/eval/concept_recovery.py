@@ -42,9 +42,15 @@ def toy_concept_mel_bands(class_name: str, n_mels: int = 64,
 
 
 def band_assignment(subspace_heatmaps: np.ndarray, class_name: str,
-                    sample_rate: int = 16000):
+                    sample_rate: int = 16000, relative: bool = True):
     """Energy share of each ground-truth band per subspace, plus the greedy
     subspace -> band assignment.
+
+    With ``relative=True`` (default) each band's share is normalized by the
+    TOTAL (all-subspace) energy in that band, removing the global
+    low-frequency energy prior of log-mel relevance: share[k, band] then
+    answers "which subspace claims this band", and a subspace is assigned
+    the band it owns most exclusively.
 
     Returns (shares [K, 4], assignment dict subspace->concept, coverage =
     number of distinct concepts claimed as some subspace's top band).
@@ -57,6 +63,8 @@ def band_assignment(subspace_heatmaps: np.ndarray, class_name: str,
     for k in range(K):
         for ci, (lo, hi) in bands.items():
             shares[k, ci - 1] = prof[k, lo:hi].sum()
+    if relative:
+        shares = shares / np.maximum(shares.sum(axis=0, keepdims=True), 1e-12)
     assignment = {k: int(np.argmax(shares[k])) + 1 for k in range(K)}
     coverage = len(set(assignment.values()))
     return shares, assignment, coverage
