@@ -137,10 +137,10 @@ class Flipper:
         keep = _cumulative_masks(order, flips, (gh, gw))       # [steps, b, P]
         pixel_masks = _upsample_patch_mask(keep, (gh, gw), p)  # [steps, b, h, w]
 
-        logits0 = np.asarray(forward_func(x))
+        logits0 = forward_func(x)
         n_classes = logits0.shape[-1]
-        class_ids = np.repeat(np.arange(n_classes),
-                              max(b // n_classes, 1))[:b]
+        class_ids = jnp.asarray(np.repeat(np.arange(n_classes),
+                                          max(b // n_classes, 1))[:b])
 
         if self.perturbation_mode == "constant":
             perturbed = pixel_masks[:, :, None, :, :] * x[None]
@@ -153,18 +153,19 @@ class Flipper:
         steps = len(flips)
         flat = perturbed.reshape(steps * b, c, h, w)
         fb = self.forward_batch or steps * b
-        outs = []
-        for i in range(0, steps * b, fb):
-            outs.append(np.asarray(forward_func(flat[i:i + fb])))
-        logits = np.concatenate(outs, 0).reshape(steps, b, n_classes)
+        fb = max(b, (fb // b) * b)  # chunk on whole-step boundaries
 
         def class_scores(lg):
-            return np.maximum(lg[np.arange(b), class_ids], 0.0)
+            # scoring stays on device: only [b] floats come back per step
+            return jnp.maximum(lg[jnp.arange(b), class_ids], 0.0)
 
-        preds = [class_scores(logits0)]
-        for s in range(steps):
-            preds.append(class_scores(logits[s]))
-        preds = np.stack(preds, axis=0)  # [steps+1, b]
+        preds_dev = [class_scores(logits0)]
+        for i in range(0, steps * b, fb):
+            out = forward_func(flat[i:i + fb])
+            nb = out.shape[0] // b
+            for s in range(nb):
+                preds_dev.append(class_scores(out[s * b:(s + 1) * b]))
+        preds = np.asarray(jnp.stack(preds_dev, axis=0))  # [steps+1, b]
 
         flips_arr = np.array([0] + flips)
         aupc = calculate_aupc(preds, flips_arr, n_classes)
