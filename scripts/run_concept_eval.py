@@ -60,11 +60,21 @@ def main():
     specs = build_layer_specs(cfg.vgg_config())
     specs, params = fold_batchnorm(specs, params)
     mapper = CLASS_IDX_MAPPER if cfg.case == "gtzan" else CLASS_IDX_MAPPER_TOY
-    dims = SUBSPACE_DIMS_GTZAN if cfg.case == "gtzan" else SUBSPACE_DIMS_TOY
+    dims_list = SUBSPACE_DIMS_GTZAN if cfg.case == "gtzan" else SUBSPACE_DIMS_TOY
+    dim_by_layer = dict(zip((1, 4, 7, 10, 13), dims_list))
 
-    batch, _ = get_data_main(args.data, cfg.eval.samples_per_class,
-                             fold=cfg.train.validation_fold,
-                             num_chunks=cfg.eval.num_chunks)
+    if cfg.case == "toy":
+        from drsa_audio_tpu.data.datasets import get_songs_toy
+        parts = []
+        for cls in mapper:
+            b, _ = get_songs_toy(args.data, cls, split="test",
+                                 N=cfg.eval.samples_per_class)
+            parts.append(b[:cfg.eval.samples_per_class])
+        batch = np.concatenate(parts, axis=0)
+    else:
+        batch, _ = get_data_main(args.data, cfg.eval.samples_per_class,
+                                 fold=cfg.train.validation_fold,
+                                 num_chunks=cfg.eval.num_chunks)
     os.makedirs(args.out, exist_ok=True)
 
     for alg in args.algorithms:
@@ -74,8 +84,8 @@ def main():
                 if alg == "random":
                     RU = cf_random_subspace(specs, params, batch,
                                             cfg.lrp_name_map, layer_idx,
-                                            dim=dims[li], num_concepts=k,
-                                            case=cfg.case)
+                                            dim=dim_by_layer[layer_idx],
+                                            num_concepts=k, case=cfg.case)
                     aupc = None
                 else:
                     Us = {cls: load_projection_matrix(
