@@ -107,13 +107,12 @@ class PixelFlipping:
         for conf in configuration_grid:
             name = configuration_name(conf)
             composite = self._composite_for(conf, scaled_gamma)
-            rels = []
-            for i in range(self.num_classes):
-                sl = slice(i * self.samples_per_class, (i + 1) * self.samples_per_class)
-                rels.append(compute_relevances(
-                    self.specs, self.params, self.input_batch[sl], composite,
-                    class_idx=i))
-            R = jnp.concatenate(rels, axis=0)
+            # balanced consecutive-class batch: ONE LRP pass attributes every
+            # sample's own class (the reference loops per class for GPU
+            # memory, pf.py:164-176)
+            R = compute_relevances(
+                self.specs, self.params, self.input_batch, composite,
+                num_classes=self.num_classes)
             self.heatmaps[name] = np.asarray(R)
             aupc, mean_logits, flips = self.flipper(
                 self._fwd, self.input_batch, R, flipping_mode=flipping_mode)
