@@ -97,3 +97,22 @@ def test_pad_to_multiple():
     assert padded.shape == (8, 3) and n == 5
     y, m = pad_to_multiple(np.ones((8, 2)), 8)
     assert y.shape == (8, 2) and m == 8
+
+
+def test_sharded_drsa_extraction(toy_model, rng):
+    from drsa_audio_tpu.parallel.sharding import sharded_drsa_extraction
+    from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+    specs, params = toy_model
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    mesh = get_mesh()
+    x = rng.standard_normal((8, 1, 64, 64)).astype(np.float32)
+    fn = sharded_drsa_extraction(specs, params, composite, mesh,
+                                 layer_idx=10, class_idx=0, num_locations=6)
+    key = jax.random.PRNGKey(0)
+    act_s, ctx_s = fn(x, key)
+    act, ctx = preprocess_data(specs, params, jnp.asarray(x), composite, 10, 0,
+                               num_locations=6, key=key)
+    np.testing.assert_allclose(np.asarray(act_s), np.asarray(act),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctx_s), np.asarray(ctx),
+                               rtol=1e-4, atol=1e-5)
