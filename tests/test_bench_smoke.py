@@ -1,0 +1,37 @@
+"""Smoke test for bench.py: both measurement paths run end to end (tiny
+sizes, CPU) and the JSON line has the required schema."""
+
+import json
+import os
+import sys
+import subprocess
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_bench_functions_tiny():
+    sys.path.insert(0, ROOT)
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    import bench
+
+    bench.TPU_BATCH = 2
+    bench.TPU_ITERS = 1
+    bench.CPU_BATCH = 1
+    bench.CPU_ITERS = 1
+
+    cfg, specs, params = bench.build_model()
+    cpu_rate = bench.cpu_reference_clips_per_sec(specs, params)
+    assert cpu_rate > 0
+    tpu_rate = bench.tpu_clips_per_sec(specs, params)
+    assert tpu_rate > 0
+
+    line = json.dumps({
+        "metric": "explained_clips_per_sec_e2e",
+        "value": round(tpu_rate, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    })
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "vs_baseline"}
