@@ -222,3 +222,28 @@ def test_gtzan_6s_structure_lrp_with_bn_folding(rng):
         act, rel = captured[name]
         assert act.shape == rel.shape
         assert np.all(np.asarray(act) >= 0)  # ReLU outputs
+
+
+def test_full_model_relevance_conservation_zero_bias(rng):
+    """Classic LRP property: with zero biases and epsilon rules everywhere,
+    the input relevance sums to the attributed logit (ReLU/MaxPool routing
+    conserves; epsilon with tiny stabilizer conserves per layer)."""
+    cfg = VGGConfig(n_filters=(4, 8), pool_kernels=((4, 4), (4, 4)),
+                    n_dense=16, n_classes=3, dropout=0.0, block_depth=1,
+                    dense_depth=1, input_size=(32, 32), conv_bn=False,
+                    dense_bn=False)
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(2))
+    for name in list(params):
+        if "b" in params[name]:
+            params[name]["b"] = jnp.zeros_like(params[name]["b"])
+
+    comp = layer_map_composite(
+        specs,
+        conv_rule=("epsilon", {"epsilon": 1e-9}),
+        dense_rule=("epsilon", {"epsilon": 1e-9}),
+    )
+    x = jnp.asarray(rng.standard_normal((3, 1, 32, 32)).astype(np.float32))
+    R, logits, _ = lrp(specs, params, x, comp, output_mask_class(1))
+    r_sums = np.asarray(R).sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(r_sums, np.asarray(logits)[:, 1], rtol=1e-3)
