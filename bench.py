@@ -41,13 +41,20 @@ def build_model():
     return cfg, specs, params
 
 
+V5E_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (MXU); f32 runs below this
+
+
 def tpu_clips_per_sec(specs, params):
+    """Returns (clips_per_sec, extras) where extras holds MFU + per-stage
+    wall-clock splits (VERDICT.md round-1 item #2)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from drsa_audio_tpu.models.projection import insert_projection
     from drsa_audio_tpu.ops.frontend import FrontendConfig, logmel, peak_normalize
-    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.explain import (
+        class_composite, subspace_heatmaps, explain_forward_upper, explain_lower,
+    )
     from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
     from drsa_audio_tpu.parallel.sharding import get_mesh
     from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
@@ -66,6 +73,23 @@ def tpu_clips_per_sec(specs, params):
                                     class_idx=0)
         return heat
 
+    # staged programs (frontend / fwd+upper-backward / K-vmapped lower
+    # backward) for the per-stage breakdown; boundaries materialize
+    # intermediates so the sum slightly exceeds the fused time.
+    @jax.jit
+    def stage_frontend(wavs):
+        return logmel(peak_normalize(wavs), fe)[:, None]
+
+    @jax.jit
+    def stage_upper(mels):
+        R_f, acts, _ = explain_forward_upper(specs_proj, params, mels,
+                                             composite, class_idx=0)
+        return R_f, acts
+
+    @jax.jit
+    def stage_lower(acts, R_f):
+        return explain_lower(specs_proj, params, acts, R_f, composite, K)
+
     n_dev = jax.device_count()
     batch = TPU_BATCH * max(n_dev, 1)
     rng = np.random.default_rng(0)
@@ -82,7 +106,46 @@ def tpu_clips_per_sec(specs, params):
         out = explain(wavs)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return batch * TPU_ITERS / dt
+    clips_per_sec = batch * TPU_ITERS / dt
+
+    # ---- MFU: analyzed FLOPs of the fused program vs per-chip peak
+    extras = {}
+    try:
+        cost = explain.lower(wavs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            per_sec = flops * TPU_ITERS / dt
+            extras["mfu"] = round(per_sec / (V5E_PEAK_FLOPS * max(n_dev, 1)), 4)
+            extras["tflops_per_sec"] = round(per_sec / 1e12, 2)
+            extras["gflops_per_clip"] = round(flops / batch / 1e9, 3)
+    except Exception as e:  # cost_analysis availability differs per backend
+        extras["mfu_error"] = str(e)[:120]
+
+    # ---- per-stage wall-clock split
+    try:
+        mels = stage_frontend(wavs)
+        R_f, acts = stage_upper(mels)
+        np.asarray(stage_lower(acts, R_f))  # compile all
+        jax.block_until_ready((mels, R_f))
+        stages = {}
+        for name, fn, args in (
+            ("frontend_ms", stage_frontend, (wavs,)),
+            ("upper_backward_ms", stage_upper, (mels,)),
+            ("lower_backward_ms", stage_lower, (acts, R_f)),
+        ):
+            t0 = time.perf_counter()
+            for _ in range(TPU_ITERS):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            stages[name] = round((time.perf_counter() - t0) / TPU_ITERS * 1e3, 2)
+        stages["fused_total_ms"] = round(dt / TPU_ITERS * 1e3, 2)
+        extras["stages"] = stages
+    except Exception as e:
+        extras["stage_error"] = str(e)[:120]
+
+    return clips_per_sec, extras
 
 
 def cpu_reference_clips_per_sec(specs, params):
@@ -203,13 +266,15 @@ def cpu_reference_clips_per_sec(specs, params):
 def main():
     cfg, specs, params = build_model()
     cpu_rate = cpu_reference_clips_per_sec(specs, params)
-    tpu_rate = tpu_clips_per_sec(specs, params)
-    print(json.dumps({
+    tpu_rate, extras = tpu_clips_per_sec(specs, params)
+    record = {
         "metric": "explained_clips_per_sec_e2e",
         "value": round(tpu_rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+    }
+    record.update(extras)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

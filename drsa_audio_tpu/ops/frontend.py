@@ -64,9 +64,12 @@ def get_slice_at(wav: jnp.ndarray, slice_length: int, start_point: float, sample
 
 
 def peak_normalize(wav: jnp.ndarray) -> jnp.ndarray:
-    """Scale to [-1, 1] by max |amplitude| over the last dim (sound.py:67-70)."""
+    """Scale to [-1, 1] by max |amplitude| over the last dim (sound.py:67-70).
+
+    Intended-behavior divergence: silent input passes through unchanged
+    instead of producing NaN (0/0) as the reference would."""
     peak = jnp.max(jnp.abs(wav), axis=-1, keepdims=True)
-    return wav / peak
+    return wav / jnp.where(peak > 0, peak, 1.0)
 
 
 def rms_normalize(wav: jnp.ndarray, rms_db: float = 0.0) -> jnp.ndarray:

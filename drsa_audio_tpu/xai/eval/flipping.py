@@ -90,6 +90,9 @@ def calculate_aupc(perturbed_predictions: np.ndarray,
     frac = (perturbed_predictions[:-1] - perturbed_predictions[1:]) / 2.0
     weights = np.cumsum(flips_per_step[1:]) / flips_per_step[1:].sum()
     aupc = (weights[:, None] * frac).sum(axis=0)
+    if aupc.size % n_classes:
+        # unbalanced batch: per-class grouping is undefined; keep flat
+        return aupc.reshape(1, -1)
     return aupc.reshape(n_classes, -1)
 
 
@@ -113,7 +116,7 @@ class Flipper:
         self.seed = seed
 
     def __call__(self, forward_func: Callable, input_batch, R,
-                 flipping_mode: str | None = None):
+                 flipping_mode: str | None = None, class_ids=None):
         x = jnp.asarray(input_batch)
         b, c, h, w = x.shape
         p = self.perturbation_size
@@ -139,8 +142,14 @@ class Flipper:
 
         logits0 = forward_func(x)
         n_classes = logits0.shape[-1]
-        class_ids = jnp.asarray(np.repeat(np.arange(n_classes),
-                                          max(b // n_classes, 1))[:b])
+        if class_ids is None:
+            # balanced consecutive-class batch (reference core.py assumption);
+            # robust to b < n_classes and b not a multiple of n_classes (the
+            # reference misassigns/crashes there — VERDICT.md round-1 #6).
+            spc = max(b // n_classes, 1)
+            class_ids = np.minimum(np.arange(b) // spc, n_classes - 1)
+        class_ids = jnp.asarray(class_ids)
+        assert class_ids.shape == (b,), (class_ids.shape, b)
 
         if self.perturbation_mode == "constant":
             perturbed = pixel_masks[:, :, None, :, :] * x[None]

@@ -74,6 +74,77 @@ def _lrp_segment_backward(specs, params, acts, R, composite):
     return R
 
 
+def explain_forward_upper(
+    specs_proj: Sequence[LayerSpec],
+    params: dict,
+    x: jnp.ndarray,
+    composite: Composite,
+    class_idx: int | None = None,
+    num_classes: int | None = None,
+    one_hot_encoded: bool = False,
+):
+    """Stage 1+2 of the fast path: full forward (recording lower-segment
+    activations) + ONE upper backward down to the subspace filter.
+
+    Returns (R_filter [b,n,K,d_k], acts_lower tuple, logits). Exposed
+    separately so bench.py can time the stages individually."""
+    lower, upper = _split_at_filter(specs_proj)
+
+    acts_lower = []
+    h = x
+    for spec in lower:
+        acts_lower.append(h)
+        h = apply_layer(spec, params, h, train=False)
+    acts_upper = []
+    for spec in upper:
+        acts_upper.append(h)
+        h = apply_layer(spec, params, h, train=False)
+    logits = h
+
+    if class_idx is not None:
+        out_fn = output_mask_class(class_idx, one_hot_encoded)
+    else:
+        out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
+    R = out_fn(logits)
+
+    R_filter = _lrp_segment_backward(upper, params, acts_upper, R, composite)
+    return R_filter, tuple(acts_lower), logits
+
+
+def explain_lower(
+    specs_proj: Sequence[LayerSpec],
+    params: dict,
+    acts_lower,
+    R_filter: jnp.ndarray,
+    composite: Composite,
+    num_concepts: int,
+):
+    """Stage 3 of the fast path: K concept maskings of the filter relevance
+    pushed through the lower segment under vmap; the standard heatmap is
+    derived as the sum (LRP backward is linear in R).
+
+    Returns heatmaps [b, K+1, h, w] (index 0 = standard)."""
+    lower, _ = _split_at_filter(specs_proj)
+
+    # K maskings only: clone k keeps concept k. The standard heatmap is the
+    # SUM of the K subspace heatmaps — the identity masking equals the sum of
+    # the per-concept maskings and LRP backward is linear in R (property
+    # verified in tests/test_explain.py) — so clone 0 is derived, not
+    # recomputed: 1/(K+1) less lower-backward work than the reference scheme.
+    eye = jnp.eye(num_concepts, dtype=R_filter.dtype)
+    R_masked = R_filter[None] * eye[:, None, None, :, None]  # [K, b, n, K, d_k]
+
+    def lower_bwd(Rf):
+        return _lrp_segment_backward(lower, params, list(acts_lower), Rf,
+                                     composite)
+
+    R_sub = jax.vmap(lower_bwd)(R_masked)  # [K, b, c, h, w]
+    R_sub = jnp.moveaxis(R_sub, 0, 1)      # [b, K, c, h, w]
+    R_std = jnp.sum(R_sub, axis=1, keepdims=True)
+    R_in = jnp.concatenate([R_std, R_sub], axis=1)  # [b, K+1, c, h, w]
+    return R_in[:, :, 0]                   # channel dim is 1
+
+
 def subspace_heatmaps(
     specs_proj: Sequence[LayerSpec],
     params: dict,
@@ -89,48 +160,12 @@ def subspace_heatmaps(
     ``specs_proj`` must already contain the projection triple
     (see models.projection.insert_projection).
     """
-    lower, upper = _split_at_filter(specs_proj)
-
-    # forward, recording per-layer inputs
-    acts_lower = []
-    h = x
-    for spec in lower:
-        acts_lower.append(h)
-        h = apply_layer(spec, params, h, train=False)
-    filter_out = h  # [b, n, K, d_k]
-    acts_upper = []
-    for spec in upper:
-        acts_upper.append(h)
-        h = apply_layer(spec, params, h, train=False)
-    logits = h
-
-    if class_idx is not None:
-        out_fn = output_mask_class(class_idx, one_hot_encoded)
-    else:
-        out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
-    R = out_fn(logits)
-
-    # upper backward once
-    R_filter = _lrp_segment_backward(upper, params, acts_upper, R, composite)
-    # [b, n, K, d_k]
-
-    # K maskings only: clone k keeps concept k. The standard heatmap is the
-    # SUM of the K subspace heatmaps — the identity masking equals the sum of
-    # the per-concept maskings and LRP backward is linear in R (property
-    # verified in tests/test_explain.py) — so clone 0 is derived, not
-    # recomputed: 1/(K+1) less lower-backward work than the reference scheme.
-    eye = jnp.eye(num_concepts, dtype=R_filter.dtype)
-    R_masked = R_filter[None] * eye[:, None, None, :, None]  # [K, b, n, K, d_k]
-
-    # lower backward, vmapped over the K clones (linear in R)
-    def lower_bwd(Rf):
-        return _lrp_segment_backward(lower, params, acts_lower, Rf, composite)
-
-    R_sub = jax.vmap(lower_bwd)(R_masked)  # [K, b, c, h, w]
-    R_sub = jnp.moveaxis(R_sub, 0, 1)      # [b, K, c, h, w]
-    R_std = jnp.sum(R_sub, axis=1, keepdims=True)
-    R_in = jnp.concatenate([R_std, R_sub], axis=1)  # [b, K+1, c, h, w]
-    return R_in[:, :, 0], logits           # channel dim is 1
+    R_filter, acts_lower, logits = explain_forward_upper(
+        specs_proj, params, x, composite, class_idx=class_idx,
+        num_classes=num_classes, one_hot_encoded=one_hot_encoded)
+    heat = explain_lower(specs_proj, params, acts_lower, R_filter, composite,
+                         num_concepts)
+    return heat, logits
 
 
 def subspace_heatmaps_repeated(

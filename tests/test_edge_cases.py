@@ -59,11 +59,19 @@ def test_drsa_fewer_samples_than_dim(rng):
 
 
 def test_peak_normalize_constant_signal():
-    """All-zero waveform: division by zero peak -> propagates inf/nan; callers
-    must feed real audio. Non-zero constant works."""
+    """Non-zero constant scales to 1; silent input passes through unchanged
+    (guarded divide — the reference would produce NaN)."""
     const = jnp.ones((2, 100)) * 0.25
     out = np.asarray(peak_normalize(const))
     np.testing.assert_allclose(out, 1.0)
+    silent = jnp.zeros((2, 100))
+    out = np.asarray(peak_normalize(silent))
+    np.testing.assert_allclose(out, 0.0)
+    # mixed batch: silent row stays zero, loud row normalizes
+    mixed = jnp.stack([jnp.zeros(100), jnp.ones(100) * 0.5])
+    out = np.asarray(peak_normalize(mixed))
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[1], 1.0)
 
 
 def test_logmel_short_clip(rng):

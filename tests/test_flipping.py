@@ -160,3 +160,21 @@ def test_metrics(rng):
     np.testing.assert_allclose(p, manual_peak, rtol=1e-6)
     f = frobenius_distance(RU, 4)
     assert f > 0
+
+
+def test_flipper_class_ids_uneven_batch(rng):
+    """b not a multiple of n_classes and b < n_classes must not crash, and an
+    explicit class_ids override is honored (VERDICT.md round-1 #6)."""
+    model = _TinyModel()  # 2 classes
+    # b=3 with 2 classes (not a multiple)
+    x = np.abs(rng.standard_normal((3, 1, 8, 8))).astype(np.float32)
+    R = rng.standard_normal((3, 1, 1, 8, 8)).astype(np.float32)
+    flipper = Flipper(perturbation_size=4)
+    aupc, _, _ = flipper(model, x, R)
+    assert np.all(np.isfinite(np.asarray(aupc)))
+    # b=1 < n_classes=2
+    aupc1, _, _ = flipper(model, x[:1], R[:1])
+    assert np.all(np.isfinite(np.asarray(aupc1)))
+    # explicit override: score class 1 for every instance
+    aupc_c1, _, _ = flipper(model, x, R, class_ids=np.array([1, 1, 1]))
+    assert np.all(np.isfinite(np.asarray(aupc_c1)))
