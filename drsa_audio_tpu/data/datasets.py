@@ -18,7 +18,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from drsa_audio_tpu.utils.constants import CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY
-from drsa_audio_tpu.ops.frontend import FrontendConfig, load_clip_to_mels
+from drsa_audio_tpu.ops.frontend import (
+    FrontendConfig, chunk_startpoints, load_clip_to_mels,
+)
 from drsa_audio_tpu.runtime.loader import load_audio
 
 
@@ -74,12 +76,17 @@ def get_toy_samplelist(path: str, toyclass: str | None = None,
 
 
 def shuffle_and_truncate(data_batch: np.ndarray, songlist: List[str],
-                         N: int, seed: int = 42):
-    """Seeded permutation shuffle + truncate (dataloading.py:179-205)."""
+                         N: int, seed: int = 42, startpoints=None):
+    """Seeded permutation shuffle + truncate (dataloading.py:179-205).
+
+    If per-chunk ``startpoints`` are given they are permuted alongside and a
+    3-tuple is returned."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(len(data_batch))
     data_batch = data_batch[perm][:N]
     songs = [songlist[i] for i in perm[:N]]
+    if startpoints is not None:
+        return data_batch, songs, np.asarray(startpoints)[perm[:N]]
     return data_batch, songs
 
 
@@ -121,19 +128,28 @@ class Loader:
 
 def get_songs_drsa(datapath: str, sample_class: str, excluded_folds=None,
                    N=None, num_folds: int = 5, num_chunks: int = 10):
-    """DRSA extraction batch: 10 chunks per song of one genre
-    (reference preprocessing.py:345-370)."""
+    """DRSA extraction batch: 10 chunks per song of one genre, with the song
+    path and slice startpoint of every chunk (reference
+    preprocessing.py:345-370 keeps these for prototype sonification).
+
+    Returns (data [M,1,h,w], songs [M], startpoints [M] seconds)."""
     paths = get_songlist(datapath, sample_class, excluded_folds, num_folds)
     loader = Loader("gtzan")
-    batch, songs = [], []
+    cfg = loader.config
+    chunk_starts = chunk_startpoints(cfg.slice_length, num_chunks,
+                                     cfg.sample_rate)
+    batch, songs, starts = [], [], []
     for p in paths:
         mels = np.asarray(loader.load(p, num_chunks=num_chunks))
         batch.append(mels)
         songs.extend([p] * num_chunks)
+        starts.extend(chunk_starts.tolist())
     data = np.concatenate(batch, axis=0)
+    starts = np.asarray(starts)
     if N:
-        data, songs = shuffle_and_truncate(data, songs, N)
-    return data, songs
+        data, songs, starts = shuffle_and_truncate(data, songs, N,
+                                                   startpoints=starts)
+    return data, songs, starts
 
 
 def get_songs_toy(datapath: str, sample_class: str, split=None, N=None,

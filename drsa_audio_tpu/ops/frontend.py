@@ -34,6 +34,17 @@ def slice_hop_samples(slice_length: int, num_chunks: int, sample_rate: int) -> i
     return int(round_down((29 - slice_length) / (num_chunks - 1), 1) * sample_rate)
 
 
+def chunk_startpoints(slice_length: int, num_chunks: int,
+                      sample_rate: int) -> np.ndarray:
+    """Startpoint (seconds) of each evenly spaced chunk that ``get_slices``
+    extracts — the per-chunk metadata the reference keeps for prototype
+    sonification (preprocessing.py:345-370, prototypes.py:14-130)."""
+    if num_chunks == 1:
+        return np.zeros(1)
+    hop = slice_hop_samples(slice_length, num_chunks, sample_rate)
+    return np.arange(num_chunks) * hop / sample_rate
+
+
 def get_slices(
     wav: jnp.ndarray,
     slice_length: int,

@@ -32,12 +32,19 @@ def generalized_fmean(x: jnp.ndarray, p: float, axis: int = 0) -> jnp.ndarray:
     return jnp.mean(x**p, axis=axis) ** (1.0 / p)
 
 
-def objective_fn(rel: jnp.ndarray) -> jnp.ndarray:
+def objective_fn(rel: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Soft-max over datapoints (p=2), soft-min over concepts (p=0.5).
 
     rel: [batch, num_concepts] non-negative relevances.
+    mask: optional [batch] validity weights — padded rows are excluded from
+    the datapoint mean (used by ``drsa_fit_batched`` where pairs with
+    different N are padded to a common length).
     """
-    x = generalized_fmean(rel, 2.0, axis=0)
+    if mask is None:
+        x = generalized_fmean(rel, 2.0, axis=0)
+    else:
+        m = mask.astype(rel.dtype)[:, None]
+        x = jnp.sqrt(jnp.sum(rel**2 * m, axis=0) / jnp.sum(m))
     return generalized_fmean(x, 0.5, axis=0)
 
 
@@ -51,8 +58,9 @@ def subspace_relevances(act_vecs, ctx_vecs, U, num_concepts: int):
     return jax.nn.relu(jnp.sum(x, axis=-1))
 
 
-def obj_val(act_vecs, ctx_vecs, U, num_concepts: int):
-    return objective_fn(subspace_relevances(act_vecs, ctx_vecs, U, num_concepts))
+def obj_val(act_vecs, ctx_vecs, U, num_concepts: int, mask=None):
+    return objective_fn(
+        subspace_relevances(act_vecs, ctx_vecs, U, num_concepts), mask)
 
 
 def project_grad(gradient: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +139,83 @@ def drsa_fit(
     U_final, objectives = jax.vmap(one_run)(U0)
     best = jnp.argmax(objectives[:, -1])
     return DRSAResult(U_final, objectives, best)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def drsa_fit_batched(
+    U0: jnp.ndarray,             # [pairs, runs, d, d]
+    act_vecs: jnp.ndarray,       # [pairs, N_max, d] (zero-padded)
+    ctx_vecs: jnp.ndarray,       # [pairs, N_max, d]
+    mask: jnp.ndarray,           # [pairs, N_max] validity (1 = real row)
+    num_concepts: int,
+    steps: int = 2000,
+    ortho_method: str = "ns",
+) -> DRSAResult:
+    """The full class x layer sweep as ONE compiled program.
+
+    The reference runs 30 sequential optimizations (10 classes x 3 layers,
+    optsubspaces.py:8-64); here every pair with the same d is vmapped together
+    (classes at one layer share d — pairs across layers with different d are
+    grouped by the caller), restarts vmapped inside, the step loop a single
+    lax.scan. Pairs with fewer datapoints are zero-padded to N_max and
+    excluded from the objective's datapoint mean via ``mask``.
+
+    Returns a DRSAResult with leading [pairs] axis (best_run is [pairs])."""
+    ortho = orthogonalize_ns if ortho_method == "ns" else orthogonalize_eigh
+
+    def one_pair(U0_runs, A, C, m):
+        value_and_grad = jax.value_and_grad(
+            lambda U: obj_val(A, C, U, num_concepts, m))
+
+        def one_run(U_init):
+            def step_fn(U, _):
+                obj, g = value_and_grad(U)
+                return ortho(U + g), obj
+
+            U_final, objs = jax.lax.scan(step_fn, U_init, None, length=steps)
+            final_obj = obj_val(A, C, U_final, num_concepts, m)
+            return U_final, jnp.concatenate([objs, final_obj[None]])
+
+        U_final, objectives = jax.vmap(one_run)(U0_runs)
+        return U_final, objectives
+
+    U_final, objectives = jax.vmap(one_pair)(U0, act_vecs, ctx_vecs, mask)
+    best = jnp.argmax(objectives[:, :, -1], axis=1)
+    return DRSAResult(U_final, objectives, best)
+
+
+def fit_batched(
+    datasets,                    # list of (act [N_i, d], ctx [N_i, d])
+    num_concepts: int = 4,
+    steps: int = 2000,
+    runs: int = 3,
+    seed: int = 42,
+    ortho_method: str = "ns",
+) -> DRSAResult:
+    """Pad a list of same-d datasets to a common N and run drsa_fit_batched.
+
+    Seeding matches the sequential ``fit`` exactly — every pair uses
+    PRNGKey(seed) (the reference passes one seed to every drsa.main call,
+    optsubspaces.py:22-23) — so batched results equal per-pair results."""
+    d = np.shape(datasets[0][0])[-1]
+    # flatten any leading structure ([N, L, d] location-sampled extracts ->
+    # [N*L, d] rows), exactly as the sequential ``fit`` does
+    flat = [(np.asarray(a, np.float32).reshape(-1, d),
+             np.asarray(c, np.float32).reshape(-1, d)) for a, c in datasets]
+    n_max = max(a.shape[0] for a, _ in flat)
+    P = len(flat)
+    A = np.zeros((P, n_max, d), np.float32)
+    C = np.zeros((P, n_max, d), np.float32)
+    M = np.zeros((P, n_max), np.float32)
+    for i, (a, c) in enumerate(flat):
+        n = a.shape[0]
+        A[i, :n] = a
+        C[i, :n] = c
+        M[i, :n] = 1.0
+    U0 = jnp.broadcast_to(init_runs(jax.random.PRNGKey(seed), d, runs),
+                          (P, runs, d, d))
+    return drsa_fit_batched(U0, jnp.asarray(A), jnp.asarray(C),
+                            jnp.asarray(M), num_concepts, steps, ortho_method)
 
 
 def random_orthogonal(key: jax.Array, d: int, dtype=jnp.float32) -> jnp.ndarray:

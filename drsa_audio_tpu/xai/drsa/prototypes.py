@@ -7,12 +7,23 @@ program over all subsets.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from drsa_audio_tpu.xai.drsa.optimizer import obj_val
 from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+
+
+class PrototypeResult(NamedTuple):
+    act_vecs: jnp.ndarray        # [n * L, d] vectors of the argmax subset
+    ctx_vecs: jnp.ndarray        # [n * L, d]
+    subset_index: int
+    objectives: np.ndarray       # [num_subsets]
+    songs: list | None           # song paths of the argmax subset (n entries)
+    startpoints: np.ndarray | None  # slice startpoints (seconds, n entries)
 
 
 def subset_objectives(act_vecs, ctx_vecs, U, num_concepts: int, n: int):
@@ -42,11 +53,13 @@ def get_prototypes(
     n: int = 10,
     class_idx: int = 0,
     seed: int = 42,
-):
+    songs=None,
+    startpoints=None,
+) -> PrototypeResult:
     """Evaluate disjoint subsets of ``n`` instances and return the act/ctx
-    vectors and indices of the argmax subset (reference prototypes.py:14-130).
-
-    Returns (proto_act_vecs, proto_ctx_vecs, subset_index, objectives).
+    vectors — plus the song names and slice startpoints, when provided — of
+    the argmax subset (reference prototypes.py:14-130; the names/startpoints
+    are what audiogen.py:160-170 sonifies).
     """
     data_batch = jnp.asarray(data_batch)
     N = (data_batch.shape[0] // n) * n
@@ -62,4 +75,8 @@ def get_prototypes(
     sl = slice(best * n, (best + 1) * n)
     proto_a = act_vecs[sl].reshape(-1, act_vecs.shape[-1])
     proto_c = ctx_vecs[sl].reshape(-1, ctx_vecs.shape[-1])
-    return proto_a, proto_c, best, np.asarray(objs)
+    proto_songs = list(songs[sl]) if songs is not None else None
+    proto_starts = (np.asarray(startpoints)[sl]
+                    if startpoints is not None else None)
+    return PrototypeResult(proto_a, proto_c, best, np.asarray(objs),
+                           proto_songs, proto_starts)

@@ -57,9 +57,9 @@ def main():
     key = jax.random.PRNGKey(cfg.drsa.seed)
     for cls, class_idx in mapper.items():
         if cfg.case == "gtzan":
-            batch, _ = get_songs_drsa(args.data, cls,
-                                      excluded_folds=[cfg.train.validation_fold],
-                                      num_chunks=cfg.drsa.chunks_per_song)
+            batch, _, _ = get_songs_drsa(
+                args.data, cls, excluded_folds=[cfg.train.validation_fold],
+                num_chunks=cfg.drsa.chunks_per_song)
         else:
             batch, _ = get_songs_toy(args.data, cls)
         for layer_idx in layers:

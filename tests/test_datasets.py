@@ -102,3 +102,35 @@ def test_experiment_config_roundtrip(tmp_path):
     assert loaded.drsa.num_concepts == 2
     vgg = loaded.vgg_config()
     assert vgg.n_filters == (8, 8, 16, 16, 16)
+
+
+def test_chunk_startpoints_match_get_slices():
+    """chunk_startpoints must agree with the windows get_slices extracts."""
+    from drsa_audio_tpu.ops.frontend import (
+        chunk_startpoints, get_slices, slice_hop_samples,
+    )
+    import jax.numpy as jnp
+
+    sr, slice_len, chunks = 16000, 3, 10
+    wav = np.arange(30 * sr, dtype=np.float32)[None]
+    slices = np.asarray(get_slices(jnp.asarray(wav), slice_len, chunks, sr))
+    starts = chunk_startpoints(slice_len, chunks, sr)
+    assert starts.shape == (chunks,)
+    # first sample of each slice is its startpoint in samples
+    np.testing.assert_allclose(slices[:, 0, 0], starts * sr)
+    assert starts[0] == 0.0
+    assert slice_hop_samples(slice_len, chunks, sr) == int(starts[1] * sr)
+    np.testing.assert_allclose(chunk_startpoints(slice_len, 1, sr), [0.0])
+
+
+def test_shuffle_and_truncate_with_startpoints(rng):
+    data = rng.standard_normal((10, 2)).astype(np.float32)
+    songs = [f"s{i}" for i in range(10)]
+    starts = np.arange(10, dtype=np.float64)
+    d1, s1, p1 = shuffle_and_truncate(data, songs, 5, seed=3, startpoints=starts)
+    d2, s2, p2 = shuffle_and_truncate(data, songs, 5, seed=3, startpoints=starts)
+    assert s1 == s2
+    np.testing.assert_array_equal(p1, p2)
+    # startpoints stay aligned with songs after the permutation
+    for song, sp in zip(s1, p1):
+        assert song == f"s{int(sp)}"

@@ -41,14 +41,22 @@ def test_get_prototypes(toy_model, rng):
     U = random_orthogonal(jax.random.PRNGKey(1), d)
     composite = Composite.from_list(LRP_NAME_MAP_TOY)
     batch = rng.standard_normal((12, 1, 64, 64)).astype(np.float32)
-    pa, pc, best, objs = get_prototypes(
+    songs = [f"song_{i}.wav" for i in range(12)]
+    starts = np.linspace(0.0, 26.0, 12)
+    res = get_prototypes(
         specs, params, 10, U, composite, batch, num_concepts=K, n=4,
-        class_idx=0)
+        class_idx=0, songs=songs, startpoints=starts)
+    pa, pc, best, objs = (res.act_vecs, res.ctx_vecs, res.subset_index,
+                          res.objectives)
     assert objs.shape == (3,)
     assert 0 <= best < 3
     assert best == int(np.argmax(objs))
     assert pa.shape[-1] == d
     assert pa.shape[0] == 4 * 64  # n instances x (8x8 spatial positions)
+    # metadata of the argmax subset is threaded through (reference
+    # prototypes.py:14-130 returns names + startpoints for sonification)
+    assert res.songs == songs[best * 4:(best + 1) * 4]
+    np.testing.assert_allclose(res.startpoints, starts[best * 4:(best + 1) * 4])
 
 
 def test_pixelflipping_harness_sweep(toy_model, rng):
