@@ -127,14 +127,19 @@ class Loader:
 
 
 def get_songs_drsa(datapath: str, sample_class: str, excluded_folds=None,
-                   N=None, num_folds: int = 5, num_chunks: int = 10):
+                   N=None, num_folds: int = 5, num_chunks: int = 10,
+                   case: str = "gtzan"):
     """DRSA extraction batch: 10 chunks per song of one genre, with the song
     path and slice startpoint of every chunk (reference
     preprocessing.py:345-370 keeps these for prototype sonification).
 
+    ``case`` selects the frontend ('gtzan' 3 s / 'gtzan_6s') — the reference
+    uses the bare Loader() default here (preprocessing.py:351), which would
+    shape-mismatch its own 6 s model; intended behavior is the model's case.
+
     Returns (data [M,1,h,w], songs [M], startpoints [M] seconds)."""
     paths = get_songlist(datapath, sample_class, excluded_folds, num_folds)
-    loader = Loader("gtzan")
+    loader = Loader(case)
     cfg = loader.config
     chunk_starts = chunk_startpoints(cfg.slice_length, num_chunks,
                                      cfg.sample_rate)
@@ -167,7 +172,8 @@ def get_songs_toy(datapath: str, sample_class: str, split=None, N=None,
 
 def get_data_main(datapath: str, samples_per_class: int, fold=None,
                   genre=None, num_chunks: int = 1, num_folds: int = 5,
-                  seed: int = 42, genres: Dict[str, int] = CLASS_IDX_MAPPER):
+                  seed: int = 42, genres: Dict[str, int] = CLASS_IDX_MAPPER,
+                  case: str = "gtzan"):
     """Balanced evaluation batch: samples_per_class clips per genre x
     num_chunks slices, consecutive class order, local seeded RNG
     (reference prep.py:14-72)."""
@@ -176,7 +182,7 @@ def get_data_main(datapath: str, samples_per_class: int, fold=None,
     sample_dict = get_songlist(datapath, genre, exclude, num_folds,
                                return_list=False, genres=genres)
     local = pyrandom.Random(seed)
-    loader = Loader("gtzan")
+    loader = Loader(case)
     batch, loaded = [], []
     for genre_class, samplelist in sample_dict.items():
         samplelist = list(samplelist)

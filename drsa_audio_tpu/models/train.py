@@ -156,7 +156,8 @@ def gtzan_augment_and_mel(wav, key, config: FrontendConfig,
     # with zeros)
     cols = jnp.arange(mel.shape[-1])
     mel = mel * (cols < valid).astype(mel.dtype)
-    mel = aug.adjust_size(mel, config.n_mels, valid, ks[13])
+    # target width == n_mels for the 3 s square model, 256 for the 6 s model
+    mel = aug.adjust_size(mel, config.width, valid, ks[13])
     if mel_augment:
         mel = aug.time_freq_mask(mel, ks[14], mask_param, mask_param)
     return mel[None]

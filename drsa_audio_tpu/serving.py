@@ -54,7 +54,7 @@ class ExplainerService:
         self.config = FrontendConfig.for_case(case)
         self.num_concepts = num_concepts
         self.mapper = class_idx_mapper or (
-            CLASS_IDX_MAPPER if case == "gtzan" else CLASS_IDX_MAPPER_TOY)
+            CLASS_IDX_MAPPER_TOY if case == "toy" else CLASS_IDX_MAPPER)
         self.mesh = mesh
         self.n_classes = len(self.mapper)
         self.Us = {cls: jnp.asarray(U, jnp.float32) for cls, U in Us.items()}

@@ -91,7 +91,12 @@ class ExperimentConfig:
 
     @property
     def lrp_name_map(self):
-        return LRP_NAME_MAP_GTZAN if self.case == "gtzan" else LRP_NAME_MAP_TOY
+        from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN_6S
+        if self.case == "toy":
+            return LRP_NAME_MAP_TOY
+        if self.case == "gtzan_6s":
+            return LRP_NAME_MAP_GTZAN_6S
+        return LRP_NAME_MAP_GTZAN
 
     def vgg_config(self):
         from drsa_audio_tpu.models.vgg import VGGConfig
@@ -133,4 +138,22 @@ class ExperimentConfig:
                 n_filters=(8, 8, 16, 16, 16), n_dense=32, n_classes=2,
                 dropout=0.0, input_size=(64, 64)),
             drsa=DRSAConfig(num_concepts=2),
+        )
+
+    @classmethod
+    def gtzan_6s_default(cls) -> "ExperimentConfig":
+        """The reference's flagship workload: 6 s block_depth-2 BN model on
+        128x256 mels (getdrsadata.py:72-73, train.py:271), DRSA at the deep
+        ReLU outputs {19, 26, 33} with 20 locations (getdrsadata.py:119,131),
+        K=4 at 5000 steps x 3 runs (optsubspaces.py:22-23)."""
+        from drsa_audio_tpu.utils.constants import DRSA_LAYERS_GTZAN_6S
+        return cls(
+            case="gtzan_6s",
+            audio=AudioConfig.for_case("gtzan_6s"),
+            model=ModelConfig(
+                n_filters=(64, 64, 100, 128, 128), n_dense=100, n_classes=10,
+                dropout=0.3, input_size=(128, 256), conv_bn=True,
+                dense_bn=True, block_depth=2, dense_depth=2),
+            drsa=DRSAConfig(num_concepts=4,
+                            layer_idcs=tuple(DRSA_LAYERS_GTZAN_6S)),
         )

@@ -43,6 +43,20 @@ AUDIO_PARAMS = {
         "n_mels": 64,
         "mel_width": 64,
     },
+    # 6 s GTZAN case for the block_depth-2 BN model on 128x256 mels
+    # (reference getdrsadata.py:72-73, train.py:271). The reference has no
+    # AUDIO_PARAMS entry for it — its Loader() default (slice 3, width 128)
+    # would shape-mismatch the (128,256) model; this entry is the intended
+    # behavior (see PARITY.md).
+    "gtzan_6s": {
+        "sample_rate": 16000,
+        "slice_length": 6,
+        "num_chunks": 4,
+        "n_fft": 800,
+        "hop_length": 360,
+        "n_mels": 128,
+        "mel_width": 256,
+    },
 }
 
 # LRP rule name-maps. Each entry: (layer_name, (rule_name, kwargs)).

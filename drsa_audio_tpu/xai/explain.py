@@ -227,7 +227,7 @@ class HeatmapGenerator:
         case = self.case
         if case is None:
             case = "toy" if self.sample_class.endswith(("1", "2")) else "gtzan"
-        mapper = CLASS_IDX_MAPPER if case == "gtzan" else CLASS_IDX_MAPPER_TOY
+        mapper = CLASS_IDX_MAPPER_TOY if case == "toy" else CLASS_IDX_MAPPER
         self.class_idx = mapper[self.sample_class]
         self.num_classes = len(mapper)
         self.specs_proj = insert_projection(

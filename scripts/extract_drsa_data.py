@@ -18,7 +18,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="ExperimentConfig JSON")
-    ap.add_argument("--case", choices=["gtzan", "toy"], default="toy")
+    ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"], default="toy")
     ap.add_argument("--data", required=True)
     ap.add_argument("--checkpoint", required=True, help="orbax ckpt dir")
     ap.add_argument("--epoch", type=int, required=True)
@@ -53,13 +53,13 @@ def main():
     specs, params = fold_batchnorm(specs, params)
     composite = Composite.from_list(cfg.lrp_name_map)
 
-    mapper = CLASS_IDX_MAPPER if cfg.case == "gtzan" else CLASS_IDX_MAPPER_TOY
+    mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
     key = jax.random.PRNGKey(cfg.drsa.seed)
     for cls, class_idx in mapper.items():
-        if cfg.case == "gtzan":
+        if cfg.case != "toy":
             batch, _, _ = get_songs_drsa(
                 args.data, cls, excluded_folds=[cfg.train.validation_fold],
-                num_chunks=cfg.drsa.chunks_per_song)
+                num_chunks=cfg.drsa.chunks_per_song, case=cfg.case)
         else:
             batch, _ = get_songs_toy(args.data, cls)
         for layer_idx in layers:

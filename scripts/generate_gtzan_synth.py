@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Generate a GTZAN-shaped synthetic corpus for full-scale rehearsal.
+
+The real GTZAN audio is not distributable; this writes a corpus with the
+exact GTZAN layout the data pipeline expects (reference dataloading.py:208-274:
+``genres_original/{genre}/*.wav`` + ``5folds/fold_k.txt``) — 10 classes of
+29.5 s 16 kHz clips with class-distinct spectral structure (per-genre
+fundamental, harmonic decay, rhythm rate, noise band) plus shared distractors,
+so a trained classifier and DRSA have real class evidence to find.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+import numpy as np
+
+from drsa_audio_tpu.utils.constants import CLASS_IDX_MAPPER
+from drsa_audio_tpu.runtime.wavio import write_wav
+
+SR = 16000
+DUR_S = 29.5
+
+
+def genre_signature(g: int):
+    """Deterministic per-genre spectral recipe."""
+    return {
+        # fundamentals spread over ~3 octaves, avoiding collisions
+        "f0": 90.0 * 2.0 ** (g * 0.37),
+        # harmonic amplitude decay (bright vs dark timbre)
+        "decay": 0.5 + 0.09 * (g % 5),
+        "n_harm": 3 + (g % 4),
+        # amplitude-modulation rhythm rate in Hz
+        "rhythm": 1.5 + 0.7 * g,
+        "duty": 0.3 + 0.05 * (g % 3),
+        # genre noise band (Hz)
+        "band": (2000.0 + 450.0 * g, 2600.0 + 450.0 * g),
+        # vibrato for odd genres
+        "vibrato": 4.0 + g if g % 2 else 0.0,
+    }
+
+
+def synth_clip(g: int, rng: np.random.Generator) -> np.ndarray:
+    sig = genre_signature(g)
+    n = int(DUR_S * SR)
+    t = np.arange(n) / SR
+
+    # harmonic stack with per-song detune and slow amplitude wander
+    f0 = sig["f0"] * (1.0 + rng.uniform(-0.03, 0.03))
+    phase = rng.uniform(0, 2 * np.pi)
+    vib = (np.sin(2 * np.pi * sig["vibrato"] * t) * 0.004 * f0
+           if sig["vibrato"] else 0.0)
+    tone = np.zeros(n)
+    for h in range(1, sig["n_harm"] + 1):
+        amp = sig["decay"] ** (h - 1)
+        tone += amp * np.sin(2 * np.pi * (f0 * h + vib) * t
+                             + phase * h + rng.uniform(0, 0.3))
+    # rhythmic gating (the genre's "beat")
+    rate = sig["rhythm"] * (1.0 + rng.uniform(-0.08, 0.08))
+    beat = (np.sin(2 * np.pi * rate * t + rng.uniform(0, 2 * np.pi)) >
+            (1.0 - 2 * sig["duty"]))
+    gate = 0.25 + 0.75 * beat.astype(np.float64)
+    tone *= gate
+
+    # genre noise band via FFT masking
+    lo, hi = sig["band"]
+    spec = np.fft.rfft(rng.standard_normal(n))
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    spec[(freqs < lo) | (freqs > hi)] = 0.0
+    band_noise = np.fft.irfft(spec, n)
+    band_noise *= 0.35 / (np.abs(band_noise).max() + 1e-9)
+    # band noise pulses on the off-beat
+    band_noise *= (1.2 - gate)
+
+    # shared distractors: 2-4 random sinusoids anywhere + noise floor
+    distract = np.zeros(n)
+    for _ in range(rng.integers(2, 5)):
+        fd = rng.uniform(100, 6000)
+        distract += rng.uniform(0.05, 0.15) * np.sin(
+            2 * np.pi * fd * t + rng.uniform(0, 2 * np.pi))
+    floor = 0.01 * rng.standard_normal(n)
+
+    clip = tone / (np.abs(tone).max() + 1e-9) + band_noise + distract + floor
+    clip = clip / (np.abs(clip).max() + 1e-9) * 0.9
+    return clip.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--songs-per-genre", type=int, default=15)
+    ap.add_argument("--num-folds", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    folds = [[] for _ in range(args.num_folds)]
+    for genre, g in CLASS_IDX_MAPPER.items():
+        gdir = os.path.join(args.out, "genres_original", genre)
+        os.makedirs(gdir, exist_ok=True)
+        for i in range(args.songs_per_genre):
+            clip = synth_clip(g, rng)
+            rel = f"{genre}/{genre}.{i:05d}.wav"
+            write_wav(os.path.join(args.out, "genres_original", rel),
+                      clip[None], SR)
+            folds[i % args.num_folds].append(rel)
+        print(f"{genre}: {args.songs_per_genre} clips")
+
+    fold_dir = os.path.join(args.out, "5folds")
+    os.makedirs(fold_dir, exist_ok=True)
+    for k, lines in enumerate(folds, start=1):
+        with open(os.path.join(fold_dir, f"fold_{k}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    print(f"corpus at {args.out}: {args.songs_per_genre * 10} clips, "
+          f"{args.num_folds} folds")
+
+
+if __name__ == "__main__":
+    main()

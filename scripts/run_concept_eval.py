@@ -21,7 +21,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config")
-    ap.add_argument("--case", choices=["gtzan", "toy"], default="gtzan")
+    ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"], default="gtzan")
     ap.add_argument("--data", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--epoch", type=int, required=True)
@@ -45,13 +45,14 @@ def main():
     from drsa_audio_tpu.utils.evaluation import load_projection_matrix
     from drsa_audio_tpu.utils.constants import (
         CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
-        SUBSPACE_DIMS_GTZAN, SUBSPACE_DIMS_TOY,
     )
 
     if args.config:
         cfg = ExperimentConfig.load(args.config)
     elif args.case == "toy":
         cfg = ExperimentConfig.toy_default()
+    elif args.case == "gtzan_6s":
+        cfg = ExperimentConfig.gtzan_6s_default()
     else:
         cfg = ExperimentConfig()
 
@@ -59,9 +60,22 @@ def main():
     params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
     specs = build_layer_specs(cfg.vgg_config())
     specs, params = fold_batchnorm(specs, params)
-    mapper = CLASS_IDX_MAPPER if cfg.case == "gtzan" else CLASS_IDX_MAPPER_TOY
-    dims_list = SUBSPACE_DIMS_GTZAN if cfg.case == "gtzan" else SUBSPACE_DIMS_TOY
-    dim_by_layer = dict(zip((1, 4, 7, 10, 13), dims_list))
+    mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
+
+    # subspace dim at a layer = out-channels of the conv feeding it, computed
+    # from the model specs (matches SUBSPACE_DIMS_GTZAN/_TOY for the 5-block
+    # nets at layers [1,4,7,10,13], reference cpf.py:260,312, and covers the
+    # 6 s model's layers {19,26,33} = {100,128,128})
+    def dim_at(layer_idx):
+        d = None
+        for s in specs:
+            if s.kind == "conv":
+                d = s.config["out_ch"]
+            if s.name == f"features.{layer_idx}":
+                return d
+        raise ValueError(f"features.{layer_idx} not in model")
+
+    dim_by_layer = {li: dim_at(li) for li in args.layers}
 
     if cfg.case == "toy":
         from drsa_audio_tpu.data.datasets import get_songs_toy
@@ -74,7 +88,8 @@ def main():
     else:
         batch, _ = get_data_main(args.data, cfg.eval.samples_per_class,
                                  fold=cfg.train.validation_fold,
-                                 num_chunks=cfg.eval.num_chunks)
+                                 num_chunks=cfg.eval.num_chunks,
+                                 case=cfg.case)
     os.makedirs(args.out, exist_ok=True)
 
     for alg in args.algorithms:

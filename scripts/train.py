@@ -14,7 +14,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", help="ExperimentConfig JSON; defaults by --case")
-    ap.add_argument("--case", choices=["gtzan", "toy"], default="toy")
+    ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"], default="toy")
     ap.add_argument("--data", help="data root (overrides config)")
     ap.add_argument("--out", help="model output dir (overrides config)")
     ap.add_argument("--epochs", type=int)
@@ -37,6 +37,8 @@ def main():
         cfg = ExperimentConfig.load(args.config)
     elif args.case == "toy":
         cfg = ExperimentConfig.toy_default()
+    elif args.case == "gtzan_6s":
+        cfg = ExperimentConfig.gtzan_6s_default()
     else:
         cfg = ExperimentConfig()
     if args.data:

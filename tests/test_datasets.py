@@ -134,3 +134,35 @@ def test_shuffle_and_truncate_with_startpoints(rng):
     # startpoints stay aligned with songs after the permutation
     for song, sp in zip(s1, p1):
         assert song == f"s{int(sp)}"
+
+
+def test_gtzan_6s_case():
+    """gtzan_6s is a first-class case: 6 s slices, 128x256 mels, 13-entry
+    name map aligned with the block_depth-2 BN model's layer names."""
+    import jax
+    from drsa_audio_tpu.ops.frontend import FrontendConfig
+    from drsa_audio_tpu.utils.config import ExperimentConfig
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, forward
+    from drsa_audio_tpu.models.train import gtzan_augment_and_mel
+    from drsa_audio_tpu.utils.constants import DRSA_LAYERS_GTZAN_6S
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig.gtzan_6s_default()
+    fe = FrontendConfig.for_case("gtzan_6s")
+    assert (fe.slice_length, fe.n_mels, fe.width) == (6, 128, 256)
+
+    rng_l = np.random.default_rng(0)
+    w = jnp.asarray(rng_l.standard_normal(29 * 16000).astype(np.float32))
+    mel = gtzan_augment_and_mel(w, jax.random.PRNGKey(0), fe, True, True)
+    assert mel.shape == (1, 128, 256)
+
+    specs = build_layer_specs(cfg.vgg_config())
+    names = {s.name for s in specs}
+    # every name-map entry and DRSA layer must exist in the model
+    for name, _ in cfg.lrp_name_map:
+        assert name in names, name
+    for li in DRSA_LAYERS_GTZAN_6S:
+        assert f"features.{li}" in names
+    params = init_params(specs, jax.random.PRNGKey(0))
+    logits = forward(specs, params, mel[None], train=False)
+    assert logits.shape == (1, 10)
