@@ -94,6 +94,11 @@ def _apply_factory(spec: LayerSpec, params: dict):
             return lambda x: conv2d_same(x, w, b)
 
         def grouped(w_mods, b_mods):
+            """All modified forwards share ONE input, so they fuse into a
+            single DENSE conv with the weight variants stacked along the
+            output-channel dim — contraction depth stays C_in on the MXU and
+            the input is read once (a feature-grouped conv would duplicate
+            the input and halve the per-group contraction)."""
             g = len(w_mods)
             w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
             b_stack = jnp.concatenate([
@@ -102,11 +107,9 @@ def _apply_factory(spec: LayerSpec, params: dict):
             c_out = p["w"].shape[0]
 
             def fn(x):
-                xg = jnp.concatenate([x] * g, axis=1)
                 out = jax.lax.conv_general_dilated(
-                    xg.astype(w_stack.dtype), w_stack, window_strides=(1, 1),
+                    x.astype(w_stack.dtype), w_stack, window_strides=(1, 1),
                     padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                    feature_group_count=g,
                 ).astype(jnp.float32)
                 out = out + b_stack.astype(jnp.float32)[None, :, None, None]
                 return tuple(out[:, i * c_out:(i + 1) * c_out] for i in range(g))

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Find DRSA prototypes for a class and sonify their subspace explanations.
+
+The reference chain this completes end to end (VERDICT round-1 missing #2):
+``get_prototypes_ts`` returns song names + slice startpoints of the
+argmax-objective subset (cxai/xai/drsa/prototypes.py:14-130), and
+``audiogen`` re-loads those exact slices for sonification
+(cxai/xai/explain/audiogen.py:160-170).
+
+Pipeline: get_songs_drsa (mels + songs + startpoints) -> get_prototypes
+(argmax subset under the trained U) -> HeatmapGenerator subspace heatmaps on
+the prototype slices -> Mel2Audio.transform_audio_from_file + make_audios.
+Writes prototype WAVs + a manifest under --out.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config")
+    ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"],
+                    default="gtzan_6s")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--epoch", type=int)
+    ap.add_argument("--subspaces", required=True,
+                    help="optimize_subspaces output root")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sample-class", required=True)
+    ap.add_argument("--layer", type=int, required=True)
+    ap.add_argument("--num-concepts", type=int, default=4)
+    ap.add_argument("--subset-size", type=int, default=10)
+    ap.add_argument("--max-sonify", type=int, default=2,
+                    help="number of prototype slices to sonify")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from drsa_audio_tpu.utils.config import ExperimentConfig
+    from drsa_audio_tpu.models.vgg import build_layer_specs, fold_batchnorm
+    from drsa_audio_tpu.models.train import load_checkpoint, merge_params
+    from drsa_audio_tpu.data.datasets import get_songs_drsa, get_songs_toy
+    from drsa_audio_tpu.xai.drsa.prototypes import get_prototypes
+    from drsa_audio_tpu.xai.lrp.engine import Composite
+    from drsa_audio_tpu.xai.explain import HeatmapGenerator
+    from drsa_audio_tpu.xai.sonify.mel2audio import Mel2Audio
+    from drsa_audio_tpu.utils.evaluation import load_projection_matrix
+    from drsa_audio_tpu.runtime.wavio import write_wav
+
+    if args.config:
+        cfg = ExperimentConfig.load(args.config)
+    elif args.case == "toy":
+        cfg = ExperimentConfig.toy_default()
+    elif args.case == "gtzan_6s":
+        cfg = ExperimentConfig.gtzan_6s_default()
+    else:
+        cfg = ExperimentConfig()
+
+    ckpt = load_checkpoint(args.checkpoint, args.epoch)
+    params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
+    specs = build_layer_specs(cfg.vgg_config())
+    specs, params = fold_batchnorm(specs, params)
+    composite = Composite.from_list(cfg.lrp_name_map)
+
+    if cfg.case == "toy":
+        batch, songs = get_songs_toy(args.data, args.sample_class)
+        starts = np.zeros(len(songs))
+    else:
+        batch, songs, starts = get_songs_drsa(
+            args.data, args.sample_class,
+            excluded_folds=[cfg.train.validation_fold],
+            num_chunks=cfg.drsa.chunks_per_song, case=cfg.case)
+
+    U = load_projection_matrix(
+        os.path.join(args.subspaces, args.sample_class, f"layer{args.layer}"))
+
+    from drsa_audio_tpu.utils.constants import (
+        CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
+    )
+    mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
+
+    res = get_prototypes(
+        specs, params, args.layer, jnp.asarray(U, jnp.float32), composite,
+        batch, num_concepts=args.num_concepts, n=args.subset_size,
+        class_idx=mapper[args.sample_class], songs=songs, startpoints=starts)
+
+    os.makedirs(args.out, exist_ok=True)
+    manifest = {
+        "sample_class": args.sample_class,
+        "layer": args.layer,
+        "subset_index": int(res.subset_index),
+        "subset_objective": float(res.objectives[res.subset_index]),
+        "objectives": res.objectives.tolist(),
+        "prototypes": [
+            {"song": s, "startpoint_s": float(sp)}
+            for s, sp in zip(res.songs, res.startpoints)
+        ],
+    }
+
+    # sonify the first few prototype slices: standard + per-concept audios
+    gen = HeatmapGenerator(
+        specs=specs, params=params, U=np.asarray(U),
+        name_map=cfg.lrp_name_map, sample_class=args.sample_class,
+        num_concepts=args.num_concepts, layer_idx=args.layer, case=cfg.case)
+    m2a = Mel2Audio(case=cfg.case)
+
+    proto_batch_idx = [res.subset_index * args.subset_size + i
+                      for i in range(args.max_sonify)]
+    mels = np.asarray(batch)[proto_batch_idx]
+    gen.generate_subspace_heatmaps(mels)
+
+    sr = m2a.config.sample_rate
+    for i, bi in enumerate(proto_batch_idx):
+        song, sp = res.songs[i], float(res.startpoints[i])
+        mel, phase = m2a.transform_audio_from_file(song, startpoint=sp)
+        wav_std = np.asarray(m2a.transform(
+            gen.info["standard_heatmaps"][i, 0], mel, phase, percentile=50))
+        write_wav(os.path.join(args.out, f"proto{i}_standard.wav"),
+                  wav_std[None], sr)
+        for k in range(args.num_concepts):
+            wav_k = np.asarray(m2a.transform(
+                gen.info["subspace_heatmaps"][i, k], mel, phase,
+                percentile=70))
+            write_wav(os.path.join(args.out, f"proto{i}_concept{k}.wav"),
+                      wav_k[None], sr)
+        manifest["prototypes"][i]["sonified"] = True
+
+    with open(os.path.join(args.out, "prototypes.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"prototype subset {res.subset_index} "
+          f"(objective {manifest['subset_objective']:.4f}); "
+          f"{len(proto_batch_idx)} slices sonified -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
