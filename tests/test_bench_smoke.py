@@ -24,8 +24,10 @@ def test_bench_functions_tiny():
     cfg, specs, params = bench.build_model()
     cpu_rate = bench.cpu_reference_clips_per_sec(specs, params)
     assert cpu_rate > 0
-    tpu_rate = bench.tpu_clips_per_sec(specs, params)
+    tpu_rate, extras = bench.tpu_clips_per_sec(specs, params)
     assert tpu_rate > 0
+    assert isinstance(extras, dict)
+    assert "mfu" in extras or "mfu_error" in extras
 
     line = json.dumps({
         "metric": "explained_clips_per_sec_e2e",
