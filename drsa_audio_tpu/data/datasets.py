@@ -128,10 +128,16 @@ class Loader:
 
 def get_songs_drsa(datapath: str, sample_class: str, excluded_folds=None,
                    N=None, num_folds: int = 5, num_chunks: int = 10,
-                   case: str = "gtzan"):
+                   case: str = "gtzan", num_songs: int | None = None,
+                   seed: int = 42):
     """DRSA extraction batch: 10 chunks per song of one genre, with the song
     path and slice startpoint of every chunk (reference
     preprocessing.py:345-370 keeps these for prototype sonification).
+
+    ``num_songs`` caps the (seeded-shuffled) song list BEFORE loading —
+    the reference's budget is 30 songs x 10 chunks per class; ``N`` truncates
+    at the chunk level AFTER loading (reference shuffle_and_truncate,
+    dataloading.py:179-205).
 
     ``case`` selects the frontend ('gtzan' 3 s / 'gtzan_6s') — the reference
     uses the bare Loader() default here (preprocessing.py:351), which would
@@ -139,6 +145,11 @@ def get_songs_drsa(datapath: str, sample_class: str, excluded_folds=None,
 
     Returns (data [M,1,h,w], songs [M], startpoints [M] seconds)."""
     paths = get_songlist(datapath, sample_class, excluded_folds, num_folds)
+    if num_songs is not None and num_songs < len(paths):
+        local = pyrandom.Random(seed)
+        paths = list(paths)
+        local.shuffle(paths)
+        paths = paths[:num_songs]
     loader = Loader(case)
     cfg = loader.config
     chunk_starts = chunk_startpoints(cfg.slice_length, num_chunks,

@@ -266,8 +266,17 @@ def save_checkpoint(path: str, trainable, state, opt_state, epoch: int, key):
     ckptr.save(os.path.join(os.path.abspath(path), f"ckpt_{epoch}"), ckpt)
 
 
-def load_checkpoint(path: str, epoch: int):
+def load_checkpoint(path: str, epoch: int | None = None):
+    """Restore a training checkpoint; ``epoch=None`` picks the latest
+    ``ckpt_N`` in ``path`` (the reference requires the caller to name the
+    epoch, train.py:310-315)."""
     import orbax.checkpoint as ocp
+    if epoch is None:
+        epochs = [int(d.split("_", 1)[1]) for d in os.listdir(path)
+                  if d.startswith("ckpt_")]
+        if not epochs:
+            raise FileNotFoundError(f"no ckpt_* under {path}")
+        epoch = max(epochs)
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.join(os.path.abspath(path), f"ckpt_{epoch}"))
 

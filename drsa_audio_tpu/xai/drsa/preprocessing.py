@@ -98,17 +98,34 @@ def preprocess_data(
     num_locations: int | None = None,
     one_hot_encoded: bool = False,
     key: jax.Array | None = None,
+    attr_batch_size: int | None = 64,
 ):
     """Build (activation_vectors, context_vectors) for DRSA optimization
     (reference preprocess_data, preprocessing.py:18-89).
 
     With ``num_locations``: training mode, samples that many random positions
     per map -> [b*L, d]. Without: inference mode, all positions -> [b, hw, d].
+
+    ``attr_batch_size`` bounds device memory by running the LRP pass in
+    minibatches (reference preprocessing.py:126-152 does the same at 64) —
+    the captured maps at the DRSA layers are small, so only the attribution
+    pass is chunked.
     """
     input_batch = jnp.asarray(input_batch)
-    act_maps, rel_maps = extract_act_rel_maps(
-        specs, params, input_batch, composite, layer_idx, class_idx,
-        one_hot_encoded)
+    b = input_batch.shape[0]
+    if attr_batch_size and b > attr_batch_size:
+        parts = [
+            extract_act_rel_maps(
+                specs, params, input_batch[i:i + attr_batch_size], composite,
+                layer_idx, class_idx, one_hot_encoded)
+            for i in range(0, b, attr_batch_size)
+        ]
+        act_maps = jnp.concatenate([p[0] for p in parts])
+        rel_maps = jnp.concatenate([p[1] for p in parts])
+    else:
+        act_maps, rel_maps = extract_act_rel_maps(
+            specs, params, input_batch, composite, layer_idx, class_idx,
+            one_hot_encoded)
     if num_locations:
         if key is None:
             key = jax.random.PRNGKey(0)

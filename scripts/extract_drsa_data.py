@@ -21,10 +21,14 @@ def main():
     ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"], default="toy")
     ap.add_argument("--data", required=True)
     ap.add_argument("--checkpoint", required=True, help="orbax ckpt dir")
-    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--epoch", type=int, help="default: latest ckpt")
     ap.add_argument("--out", required=True)
     ap.add_argument("--layers", type=int, nargs="+")
     ap.add_argument("--num-locations", type=int, default=20)
+    ap.add_argument("--num-clips", type=int,
+                    help="truncate each class's chunk batch to N clips "
+                         "(reference budget: 300 clips x 20 locations = "
+                         "6000 vectors per class-layer)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +47,8 @@ def main():
         cfg = ExperimentConfig.load(args.config)
     elif args.case == "toy":
         cfg = ExperimentConfig.toy_default()
+    elif args.case == "gtzan_6s":
+        cfg = ExperimentConfig.gtzan_6s_default()
     else:
         cfg = ExperimentConfig()
     layers = args.layers or list(cfg.drsa.layer_idcs)
@@ -57,8 +63,11 @@ def main():
     key = jax.random.PRNGKey(cfg.drsa.seed)
     for cls, class_idx in mapper.items():
         if cfg.case != "toy":
+            n_songs = (-(-args.num_clips // cfg.drsa.chunks_per_song)
+                       if args.num_clips else None)
             batch, _, _ = get_songs_drsa(
                 args.data, cls, excluded_folds=[cfg.train.validation_fold],
+                N=args.num_clips, num_songs=n_songs,
                 num_chunks=cfg.drsa.chunks_per_song, case=cfg.case)
         else:
             batch, _ = get_songs_toy(args.data, cls)

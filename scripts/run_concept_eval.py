@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--case", choices=["gtzan", "gtzan_6s", "toy"], default="gtzan")
     ap.add_argument("--data", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--epoch", type=int, help="default: latest ckpt")
     ap.add_argument("--subspaces", required=True,
                     help="optimize_subspaces output root")
     ap.add_argument("--out", required=True)

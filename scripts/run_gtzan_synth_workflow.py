@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--num-concepts", type=int, default=4)
     ap.add_argument("--layers", type=int, nargs="+", default=[19, 26, 33])
     ap.add_argument("--samples-per-class", type=int, default=20)
+    ap.add_argument("--num-clips", type=int, default=300,
+                    help="DRSA clips per class (reference: 30 songs x 10 "
+                         "chunks -> 6000 vectors at 20 locations)")
     ap.add_argument("--skip", nargs="+", default=[],
                     choices=["extract", "optimize", "eval", "prototypes"])
     args = ap.parse_args()
@@ -57,6 +60,7 @@ def main():
             "--case", "gtzan_6s", "--data", args.data,
             "--checkpoint", model, "--out", drsa_data,
             "--layers", *layer_args,
+            "--num-clips", str(args.num_clips),
         ])
 
     if "optimize" not in args.skip:
