@@ -166,3 +166,21 @@ def test_gtzan_6s_case():
     params = init_params(specs, jax.random.PRNGKey(0))
     logits = forward(specs, params, mel[None], train=False)
     assert logits.shape == (1, 10)
+
+
+def test_get_songs_drsa_num_songs_cap(gtzan_corpus):
+    from drsa_audio_tpu.data.datasets import get_songs_drsa
+    # 3 train-fold songs exist for 'pop'; cap at 2 songs x 4 chunks
+    data, songs, starts = get_songs_drsa(
+        gtzan_corpus, "pop", excluded_folds=[1], num_chunks=4, num_songs=2)
+    assert data.shape[0] == 8 and len(set(songs)) == 2
+    assert starts.shape == (8,)
+    # deterministic under the same seed
+    _, songs2, _ = get_songs_drsa(
+        gtzan_corpus, "pop", excluded_folds=[1], num_chunks=4, num_songs=2)
+    assert songs == songs2
+    # N truncation composes with the song cap
+    data3, songs3, starts3 = get_songs_drsa(
+        gtzan_corpus, "pop", excluded_folds=[1], num_chunks=4, num_songs=2,
+        N=5)
+    assert data3.shape[0] == 5 and len(songs3) == 5 and starts3.shape == (5,)

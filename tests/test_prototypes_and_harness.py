@@ -111,3 +111,22 @@ def test_interclass_concept_flipping_small(toy_model, rng):
     assert len(out) == 1
     assert out[0].shape == (2, 2)
     assert np.all(np.isfinite(out[0]))
+
+
+def test_preprocess_minibatched_matches_single_pass(toy_model, rng):
+    """attr_batch_size chunking (reference preprocessing.py:126-152) is a
+    pure memory optimization — bit-equal vectors to the one-pass path."""
+    from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+    specs, params = toy_model
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    batch = jnp.asarray(rng.standard_normal((10, 1, 64, 64)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    act1, ctx1 = preprocess_data(specs, params, batch, composite, 10, 0,
+                                 num_locations=4, key=key,
+                                 attr_batch_size=None)
+    act2, ctx2 = preprocess_data(specs, params, batch, composite, 10, 0,
+                                 num_locations=4, key=key, attr_batch_size=4)
+    np.testing.assert_allclose(np.asarray(act1), np.asarray(act2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ctx2),
+                               rtol=1e-6, atol=1e-6)
