@@ -55,15 +55,23 @@ def configuration_name(conf: Dict[str, Tuple]) -> str:
 
 def scaled_gamma_name_map(specs: Sequence[LayerSpec], gamma: float,
                           eps: float = 1e-7, first_layer: str = "wsquare"):
-    """'Scaled gamma' composite for the 5-block nets: full gamma on blocks
-    1-3, gamma/2 on block 4, gamma/4 on block 5, epsilon on dense
-    (pf.py:336-412)."""
-    conv_names = [s.name for s in specs if s.kind == "conv"]
+    """'Scaled gamma' composite: full gamma on blocks 1-3, gamma/2 on
+    block 4, gamma/4 on block 5+, epsilon on dense (pf.py:336-412; the
+    reference hard-codes per-layer maps for its 1-conv-per-block nets —
+    assignment here is per BLOCK, delimited by maxpools, so depth-2 blocks
+    get the same decay schedule)."""
+    conv_names = []  # (name, block_idx)
+    block = 0
+    for s in specs:
+        if s.kind == "conv":
+            conv_names.append((s.name, block))
+        elif s.kind == "maxpool":
+            block += 1
     dense_names = [s.name for s in specs if s.kind == "linear"]
-    gammas = [gamma, gamma, gamma / 2, gamma / 4]
-    name_map = [(conv_names[0], make_rule(first_layer))]
-    for i, name in enumerate(conv_names[1:]):
-        g = gammas[min(i, len(gammas) - 1)]
+    block_gamma = [gamma, gamma, gamma, gamma / 2, gamma / 4]
+    name_map = [(conv_names[0][0], make_rule(first_layer))]
+    for name, blk in conv_names[1:]:
+        g = block_gamma[min(blk, len(block_gamma) - 1)]
         name_map.append((name, make_rule("gamma", g)))
     for name in dense_names:
         name_map.append((name, make_rule("epsilon", eps)))

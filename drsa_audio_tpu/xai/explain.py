@@ -125,6 +125,7 @@ def explain_lower(
     R_filter: jnp.ndarray,
     composite: Composite,
     num_concepts: int,
+    shared_denominators: bool = False,
 ):
     """Stage 3 of the fast path: K concept maskings of the filter relevance
     pushed through the lower segment under vmap; the standard heatmap is
@@ -144,19 +145,73 @@ def explain_lower(
     R_masked = (R_filter[None] * eye[:, None, None, :, None]
                 ).reshape((K * b,) + R_filter.shape[1:])
 
-    # The K clones are FOLDED into the batch axis (activations tiled K times)
-    # rather than vmapped with a leading K axis: measured on the v5e, the
-    # plain big-batch backward beats the vmap layouts by ~16% (82 vs 96 ms at
-    # 256 clips) even though it recomputes the rule denominators per clone —
-    # conv FLOPs are cheap here, transposes are not. Bit-identical output.
-    acts_k = [jnp.broadcast_to(a[None], (K,) + a.shape)
-              .reshape((K * a.shape[0],) + a.shape[1:]) for a in acts_lower]
-    R_sub = _lrp_segment_backward(lower, params, acts_k, R_masked, composite)
+    # The K clones are FOLDED into the batch axis rather than vmapped with a
+    # leading K axis: measured on the v5e, the plain big-batch backward beats
+    # the vmap layouts by ~16% (82 vs 96 ms at 256 clips) — conv FLOPs are
+    # cheap here, transposes are not. Bit-identical output either way.
+    # shared_denominators=True computes the rule forwards once at batch b and
+    # broadcasts onto the clones — fewer FLOPs but 31% SLOWER on the v5e
+    # (106.6 vs 81.2 ms at 256 clips, identical output): the broadcast
+    # reshapes and per-clone pool routing dominate; the pipeline is
+    # layout-bound, not FLOP-bound (BASELINE.md round-2 table).
+    if shared_denominators:
+        R_sub = _lrp_segment_backward_shared(lower, params, acts_lower,
+                                             R_masked, K, composite)
+    else:
+        acts_k = [jnp.broadcast_to(a[None], (K,) + a.shape)
+                  .reshape((K * a.shape[0],) + a.shape[1:])
+                  for a in acts_lower]
+        R_sub = _lrp_segment_backward(lower, params, acts_k, R_masked,
+                                      composite)
     R_sub = R_sub.reshape((K, b) + R_sub.shape[1:])
     R_sub = jnp.moveaxis(R_sub, 0, 1)      # [b, K, c, h, w]
     R_std = jnp.sum(R_sub, axis=1, keepdims=True)
     R_in = jnp.concatenate([R_std, R_sub], axis=1)  # [b, K+1, c, h, w]
     return R_in[:, :, 0]                   # channel dim is 1
+
+
+def _lrp_segment_backward_shared(specs, params, acts, R, K, composite):
+    """Backward over a recorded segment whose activations (batch b) are
+    SHARED by K relevance clones folded into R's batch axis [K*b, ...].
+
+    Rule denominators/masks are computed once at batch b and broadcast onto
+    the clones (rules.SHARED_RULES); only the vjp — the irreducible per-clone
+    work — runs at K*b. ReLU gates and MaxPool routing are likewise derived
+    from the small batch. Bit-equal to tiling the activations and running
+    `_lrp_segment_backward` (tested)."""
+    from drsa_audio_tpu.xai.lrp.rules import (
+        SHARED_RULES, _expand_batch, _mul_small,
+    )
+    for i in range(len(specs) - 1, -1, -1):
+        spec = specs[i]
+        a_in = acts[i]
+        b = a_in.shape[0]
+        rule = composite.rule_for(spec.name)
+        if (rule is not None and spec.kind in _RULE_LAYERS
+                and spec.kind != "subspacefilter"):
+            rule_name, kwargs = rule
+            rule_name = _specialize_rule(rule_name, specs, i)
+            apply_with = _apply_factory(spec, params)
+            if rule_name in SHARED_RULES:
+                R = SHARED_RULES[rule_name](apply_with, a_in, R, K, **kwargs)
+            else:
+                R = RULES[rule_name](apply_with, _expand_batch(a_in, K), R,
+                                     **kwargs)
+        elif spec.kind == "relu":
+            R = _mul_small(R, (a_in > 0).astype(R.dtype), K)
+        elif spec.kind == "flatten":
+            R = R.reshape((R.shape[0],) + a_in.shape[1:])
+        elif spec.kind == "dropout":
+            pass  # identity in eval mode
+        else:
+            # maxpool & any other unmapped layer: routing depends on the
+            # shared primal — build ONE vjp at batch b, apply per clone
+            fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)
+            _, vjp = jax.vjp(fwd, a_in)
+            Rk = R.reshape((K, b) + R.shape[1:])
+            R = jax.vmap(lambda r: vjp(r)[0])(Rk)
+            R = R.reshape((K * b,) + R.shape[2:])
+    return R
 
 
 def subspace_heatmaps(

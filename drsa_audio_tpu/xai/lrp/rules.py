@@ -295,3 +295,175 @@ RULES = {
     "pass": lrp_pass,
     "subspace_mask": lrp_subspace_mask,
 }
+
+
+# --------------------------------------------------------------------------
+# Shared-activation variants: K relevance clones over ONE activation batch.
+#
+# In the subspace fast path the K concept clones share every activation
+# (explain.explain_lower), so each rule's forward pass — the z denominators,
+# output-sign masks and stabilized reciprocals — is identical across clones.
+# These variants take x at batch b and R at batch K*b: the modified forwards
+# run ONCE at b, the masks/denominators broadcast onto the K*b relevance, and
+# only the vjp (the conv transpose, the irreducible per-clone work) runs at
+# K*b. The vjp is built on a broadcast-tiled primal whose forward outputs are
+# unused — a linear layer's vjp never reads its primal values, so XLA
+# dead-code-eliminates that forward under jit.
+
+
+def _expand_batch(t: jnp.ndarray, K: int) -> jnp.ndarray:
+    """[b, ...] -> [K*b, ...] clone-tiling (fused into consumers by XLA)."""
+    return jnp.broadcast_to(t[None], (K,) + t.shape).reshape(
+        (K * t.shape[0],) + t.shape[1:])
+
+
+def _mul_small(big: jnp.ndarray, small: jnp.ndarray, K: int) -> jnp.ndarray:
+    """big [K*b, ...] * small [b, ...] without materializing the tile."""
+    b = small.shape[0]
+    return (big.reshape((K, b) + big.shape[1:]) * small[None]).reshape(big.shape)
+
+
+def shared_epsilon(apply_with, x, R, K: int, *, epsilon: float = 1e-6, **_):
+    f = apply_with(_identity, _identity)
+    z = f(x)
+    s = _mul_small(R, 1.0 / stabilize(z, epsilon), K)
+    _, vjp = jax.vjp(f, _expand_batch(x, K))
+    (c,) = vjp(s)
+    return _mul_small(c, x, K)
+
+
+def shared_norm(apply_with, x, R, K: int, *, stabilizer: float = 1e-6, **_):
+    f = apply_with(_identity, _zero)
+    z = f(x)
+    s = _mul_small(R, 1.0 / stabilize(z, stabilizer), K)
+    _, vjp = jax.vjp(f, _expand_batch(x, K))
+    (c,) = vjp(s)
+    return _mul_small(c, x, K)
+
+
+def shared_gamma_nonneg(apply_with, x, R, K: int, *, gamma: float = 0.25,
+                        stabilizer: float = 1e-6, **_):
+    if not hasattr(apply_with, "grouped"):
+        return lrp_gamma_nonneg(apply_with, _expand_batch(x, K), R,
+                                gamma=gamma, stabilizer=stabilizer)
+
+    def gmod_pos(p):
+        return p + gamma * jnp.maximum(p, 0.0)
+
+    def gmod_neg(p):
+        return p + gamma * jnp.minimum(p, 0.0)
+
+    f = apply_with.grouped([gmod_pos, gmod_neg], [gmod_pos, None])
+    z1, z3 = f(x)
+    bias1 = apply_with.bias_of(gmod_pos)
+    bias0 = apply_with.bias_of(_identity)
+    z2 = apply_with.bias_of(gmod_neg)
+    z_true = (z1 + z3 - bias1) / (2.0 + gamma) + bias0
+
+    m1 = (z_true > 0.0).astype(R.dtype) / stabilize(z1 + z2, stabilizer)
+    m3 = (z_true < 0.0).astype(R.dtype) / stabilize(z3, stabilizer)
+    s1 = _mul_small(R, m1, K)
+    s3 = _mul_small(R, m3, K)
+    _, vjp = jax.vjp(f, _expand_batch(x, K))
+    (c,) = vjp((s1, s3))
+    return _mul_small(c, x, K)
+
+
+def shared_gamma(apply_with, x, R, K: int, *, gamma: float = 0.25,
+                 stabilizer: float = 1e-6, **_):
+    if not hasattr(apply_with, "grouped_multi"):
+        return lrp_gamma(apply_with, _expand_batch(x, K), R,
+                         gamma=gamma, stabilizer=stabilizer)
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+
+    def gmod_pos(p):
+        return p + gamma * jnp.maximum(p, 0.0)
+
+    def gmod_neg(p):
+        return p + gamma * jnp.minimum(p, 0.0)
+
+    f = apply_with.grouped_multi(
+        [gmod_pos, gmod_neg, gmod_neg, gmod_pos, _identity],
+        [gmod_pos, gmod_neg, None, None, _identity])
+    z1, z2, z3, z4, z_true = f(xp, xn, xp, xn, x)
+    m_pos = (z_true > 0.0).astype(R.dtype) / stabilize(z1 + z2, stabilizer)
+    m_neg = (z_true < 0.0).astype(R.dtype) / stabilize(z3 + z4, stabilizer)
+    s_pos = _mul_small(R, m_pos, K)
+    s_neg = _mul_small(R, m_neg, K)
+    xpe, xne = _expand_batch(xp, K), _expand_batch(xn, K)
+    _, vjp = jax.vjp(f, xpe, xne, xpe, xne, _expand_batch(x, K))
+    zero = jnp.zeros((R.shape[0],) + z_true.shape[1:], R.dtype)
+    c1, c2, c3, c4, _ = vjp((s_pos, s_pos, s_neg, s_neg, zero))
+    return (_mul_small(c1, xp, K) + _mul_small(c2, xn, K)
+            + _mul_small(c3, xp, K) + _mul_small(c4, xn, K))
+
+
+def shared_zplus(apply_with, x, R, K: int, *, stabilizer: float = 1e-6, **_):
+    if not hasattr(apply_with, "grouped_multi"):
+        return lrp_zplus(apply_with, _expand_batch(x, K), R,
+                         stabilizer=stabilizer)
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    f = apply_with.grouped_multi([_pos, _neg], [_pos, None])
+    z1, z2 = f(xp, xn)
+    m = 1.0 / stabilize(z1 + z2, stabilizer)
+    s = _mul_small(R, m, K)
+    xpe, xne = _expand_batch(xp, K), _expand_batch(xn, K)
+    _, vjp = jax.vjp(f, xpe, xne)
+    c1, c2 = vjp((s, s))
+    return _mul_small(c1, xp, K) + _mul_small(c2, xn, K)
+
+
+def shared_alphabeta(apply_with, x, R, K: int, *, alpha: float = 2.0,
+                     beta: float = 1.0, stabilizer: float = 1e-6, **_):
+    if not hasattr(apply_with, "grouped_multi"):
+        return lrp_alphabeta(apply_with, _expand_batch(x, K), R, alpha=alpha,
+                             beta=beta, stabilizer=stabilizer)
+    xp, xn = jnp.maximum(x, 0.0), jnp.minimum(x, 0.0)
+    f = apply_with.grouped_multi([_pos, _neg, _neg, _pos],
+                                 [_pos, None, _neg, None])
+    z1, z2, z3, z4 = f(xp, xn, xp, xn)
+    m_a = 1.0 / stabilize(z1 + z2, stabilizer)
+    m_b = 1.0 / stabilize(z3 + z4, stabilizer)
+    s_a = _mul_small(R, m_a, K)
+    s_b = _mul_small(R, m_b, K)
+    xpe, xne = _expand_batch(xp, K), _expand_batch(xn, K)
+    _, vjp = jax.vjp(f, xpe, xne, xpe, xne)
+    c1, c2, c3, c4 = vjp((s_a, s_a, s_b, s_b))
+    return (alpha * (_mul_small(c1, xp, K) + _mul_small(c2, xn, K))
+            - beta * (_mul_small(c3, xp, K) + _mul_small(c4, xn, K)))
+
+
+def shared_wsquare(apply_with, x, R, K: int, *, stabilizer: float = 1e-6, **_):
+    def sq(p):
+        return p * p
+    f = apply_with(sq, sq)
+    ones = jnp.ones_like(x)
+    z = f(ones)
+    s = _mul_small(R, 1.0 / stabilize(z, stabilizer), K)
+    _, vjp = jax.vjp(f, _expand_batch(ones, K))
+    (c,) = vjp(s)
+    return c
+
+
+def shared_flat(apply_with, x, R, K: int, *, stabilizer: float = 1e-6, **_):
+    def ones_mod(p):
+        return jnp.ones_like(p)
+    f = apply_with(ones_mod, _zero)
+    ones = jnp.ones_like(x)
+    z = f(ones)
+    s = _mul_small(R, 1.0 / stabilize(z, stabilizer), K)
+    _, vjp = jax.vjp(f, _expand_batch(ones, K))
+    (c,) = vjp(s)
+    return c
+
+
+SHARED_RULES = {
+    "epsilon": shared_epsilon,
+    "norm": shared_norm,
+    "gamma": shared_gamma,
+    "gamma_nonneg": shared_gamma_nonneg,
+    "zplus": shared_zplus,
+    "alphabeta": shared_alphabeta,
+    "wsquare": shared_wsquare,
+    "flat": shared_flat,
+}

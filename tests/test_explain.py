@@ -115,3 +115,37 @@ def test_compute_subspace_relevances(rng):
     xa, xc = a @ U, c @ U
     x = (xa * xc).reshape(3, n, K, d // K)
     np.testing.assert_allclose(out, x.sum(axis=(1, 3)), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name_map", [
+    LRP_NAME_MAP_TOY,
+    # exercise every shared rule variant, incl. the general (negative-input)
+    # gamma on the un-ReLU'd first conv
+    [("features.0", ("gamma", {"gamma": 0.3})),
+     ("features.3", ("zplus", {})),
+     ("features.6", ("alphabeta", {"alpha": 2.0, "beta": 1.0})),
+     ("features.9", ("wsquare", {})),
+     ("classifier.0", ("epsilon", {"epsilon": 1e-6})),
+     ("classifier.2", ("norm", {})),
+     ("classifier.4", ("epsilon", {"epsilon": 1e-6}))],
+])
+def test_shared_denominator_path_exact(model_with_projection, rng, name_map):
+    """Shared-activation lower backward (rule forwards at batch b, vjp at
+    K*b) equals the tiled-activation path."""
+    from drsa_audio_tpu.xai.explain import explain_forward_upper, explain_lower
+    specs, _, params, _, U, K = model_with_projection
+    from drsa_audio_tpu.models.projection import insert_projection
+    specs_proj = insert_projection(specs, 10, U, K)
+    composite = class_composite(name_map, K)
+    x = jnp.asarray(rng.standard_normal((3, 1, 64, 64)).astype(np.float32))
+    R_f, acts, _ = explain_forward_upper(specs_proj, params, x, composite,
+                                         class_idx=0)
+    h_tiled = explain_lower(specs_proj, params, acts, R_f, composite, K,
+                            shared_denominators=False)
+    h_shared = explain_lower(specs_proj, params, acts, R_f, composite, K,
+                             shared_denominators=True)
+    h_tiled, h_shared = np.asarray(h_tiled), np.asarray(h_shared)
+    # differences are reassociation fp noise (divide vs reciprocal-multiply),
+    # so tolerate relative to the heatmap scale
+    atol = 1e-6 * np.abs(h_tiled).max()
+    np.testing.assert_allclose(h_shared, h_tiled, rtol=2e-5, atol=atol)
