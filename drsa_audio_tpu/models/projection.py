@@ -33,15 +33,29 @@ def apply_projection_with(U, num_concepts: int):
     return fn
 
 
-def apply_inv_projection_with(U, num_concepts: int):
+def apply_inv_projection_with(U, num_concepts: int, map_hw=None):
+    """``map_hw`` is the (h, w) of the restored activation map. The reference
+    InvProjection assumes a square map (h = w = sqrt(n),
+    modify_model.py:110-118) — correct for its 3 s/toy models but wrong for
+    the 6 s net whose 128x256 input yields non-square maps; pass map_hw for
+    those (intended-behavior divergence, PARITY.md)."""
     d = U.shape[0]
 
     def fn(hvec):
         b, n, _, _ = hvec.shape
         flat = hvec.reshape(b, n, d)
         rec = jnp.matmul(flat, U.T, preferred_element_type=jnp.float32)
-        side = int(round(n ** 0.5))
-        return rec.swapaxes(-2, -1).reshape(b, d, side, side)
+        if map_hw is not None:
+            h, w = map_hw
+            if h * w != n:
+                raise ValueError(f"map_hw {map_hw} inconsistent with n={n}")
+        else:
+            h = w = int(round(n ** 0.5))
+            if h * w != n:
+                raise ValueError(
+                    f"non-square activation map (n={n}); pass map_hw to "
+                    "insert_projection (6 s-model maps are h != w)")
+        return rec.swapaxes(-2, -1).reshape(b, d, h, w)
 
     return fn
 
@@ -50,8 +64,24 @@ def apply_projection(x, U, num_concepts):
     return apply_projection_with(U, num_concepts)(x)
 
 
-def apply_inv_projection(x, U, num_concepts):
-    return apply_inv_projection_with(U, num_concepts)(x)
+def apply_inv_projection(x, U, num_concepts, map_hw=None):
+    return apply_inv_projection_with(U, num_concepts, map_hw)(x)
+
+
+def feature_map_hw(specs: Sequence[LayerSpec], layer_idx: int,
+                   input_size) -> tuple[int, int]:
+    """(h, w) of the activation map right after ``features.{layer_idx}``:
+    shape-propagates ``input_size`` through the feature stack ('same'-padded
+    convs preserve shape; maxpools floor-divide by their kernel)."""
+    h, w = input_size
+    target = f"features.{layer_idx}"
+    for spec in specs:
+        if spec.kind == "maxpool":
+            kh, kw = spec.config["kernel"]
+            h, w = h // kh, w // kw
+        if spec.name == target:
+            return int(h), int(w)
+    raise ValueError(f"layer {target} not found in model specs")
 
 
 def insert_projection(
@@ -59,13 +89,18 @@ def insert_projection(
     layer_idx: int,
     U: jnp.ndarray,
     num_concepts: int,
+    input_size=None,
 ) -> list[LayerSpec]:
     """Build the ProjectionModel layer list (reference modify_model.py:44-50):
     inserts the virtual triple right after ``features.{layer_idx}``.
 
-    Non-feature layers (flatten/classifier) are untouched.
+    Non-feature layers (flatten/classifier) are untouched. ``input_size``
+    (the model's (n_mels, mel_width)) lets the InvProjection restore
+    non-square maps — required for the 6 s net; square maps work without it.
     """
     target = f"features.{layer_idx}"
+    map_hw = (feature_map_hw(specs, layer_idx, input_size)
+              if input_size is not None else None)
     out: list[LayerSpec] = []
     found = False
     for spec in specs:
@@ -76,7 +111,8 @@ def insert_projection(
                                  {"U": U, "num_concepts": num_concepts}))
             out.append(LayerSpec("subspacefilter", "features.subspacefilter", {}))
             out.append(LayerSpec("invprojection", "features.invprojection",
-                                 {"U": U, "num_concepts": num_concepts}))
+                                 {"U": U, "num_concepts": num_concepts,
+                                  "map_hw": map_hw}))
     if not found:
         raise ValueError(f"layer {target} not found in model specs")
     return out

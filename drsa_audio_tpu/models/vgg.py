@@ -241,7 +241,9 @@ def apply_layer(
         return x
     if kind == "invprojection":
         from drsa_audio_tpu.models.projection import apply_inv_projection
-        return apply_inv_projection(x, spec.config["U"], spec.config["num_concepts"])
+        return apply_inv_projection(x, spec.config["U"],
+                                    spec.config["num_concepts"],
+                                    spec.config.get("map_hw"))
     raise ValueError(f"unknown layer kind {kind}")
 
 

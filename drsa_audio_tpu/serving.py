@@ -67,7 +67,9 @@ class ExplainerService:
             mels = logmel(x, config)[:, None]
             # the projection triple is spliced in during tracing, so the
             # traced U flows through the compiled program as an argument
-            specs_proj = insert_projection(specs, layer_idx, U, num_concepts)
+            specs_proj = insert_projection(
+                specs, layer_idx, U, num_concepts,
+                input_size=(config.n_mels, config.width))
             heat, logits = subspace_heatmaps(
                 specs_proj, params, mels, composite, num_concepts,
                 output_mask=lambda lg: lg * class_onehot[None, :])

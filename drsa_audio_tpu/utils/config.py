@@ -152,6 +152,7 @@ class ExperimentConfig:
             audio=AudioConfig.for_case("gtzan_6s"),
             model=ModelConfig(
                 n_filters=(64, 64, 100, 128, 128), n_dense=100, n_classes=10,
+                pool_kernels=((2, 4), (2, 2), (2, 2), (2, 2), (2, 2)),
                 dropout=0.3, input_size=(128, 256), conv_bn=True,
                 dense_bn=True, block_depth=2, dense_depth=2),
             drsa=DRSAConfig(num_concepts=4,

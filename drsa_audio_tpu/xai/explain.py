@@ -37,7 +37,8 @@ from drsa_audio_tpu.xai.lrp.engine import (
     _RULE_LAYERS,
 )
 from drsa_audio_tpu.xai.lrp.rules import RULES
-from drsa_audio_tpu.utils.constants import CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY
+from drsa_audio_tpu.utils.constants import (
+    AUDIO_PARAMS, CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY)
 
 
 def class_composite(name_map, num_concepts: int) -> Composite:
@@ -292,9 +293,12 @@ class HeatmapGenerator:
         mapper = CLASS_IDX_MAPPER_TOY if case == "toy" else CLASS_IDX_MAPPER
         self.class_idx = mapper[self.sample_class]
         self.num_classes = len(mapper)
+        # input mel shape per case so the InvProjection restores non-square
+        # maps (the 6 s net is 128x256)
+        ap = AUDIO_PARAMS[case]
         self.specs_proj = insert_projection(
             self.specs, self.layer_idx, jnp.asarray(self.U, jnp.float32),
-            self.num_concepts)
+            self.num_concepts, input_size=(ap["n_mels"], ap["mel_width"]))
         self.composite = class_composite(self.name_map, self.num_concepts)
         self.info: dict = {}
 

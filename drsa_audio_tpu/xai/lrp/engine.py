@@ -200,13 +200,14 @@ def _apply_factory(spec: LayerSpec, params: dict):
             apply_projection_with,
             apply_inv_projection_with,
         )
-        builder = (
-            apply_projection_with if spec.kind == "projection"
-            else apply_inv_projection_with
-        )
+        if spec.kind == "projection":
+            def apply_with(w_mod, b_mod):
+                return apply_projection_with(w_mod(U), k)
+        else:
+            map_hw = spec.config.get("map_hw")
 
-        def apply_with(w_mod, b_mod):
-            return builder(w_mod(U), k)
+            def apply_with(w_mod, b_mod):
+                return apply_inv_projection_with(w_mod(U), k, map_hw)
 
         return apply_with
     raise ValueError(f"no apply factory for layer kind {spec.kind}")

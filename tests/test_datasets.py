@@ -184,3 +184,16 @@ def test_get_songs_drsa_num_songs_cap(gtzan_corpus):
         gtzan_corpus, "pop", excluded_folds=[1], num_chunks=4, num_songs=2,
         N=5)
     assert data3.shape[0] == 5 and len(songs3) == 5 and starts3.shape == (5,)
+
+
+def test_gtzan_6s_default_matches_reference_architecture():
+    """The config tree's 6s model must equal the reference's trained conf
+    ((64,64,100,128,128), 100, ((2,4),(2,2)x4)) on (128,256) input
+    (getdrsadata.py:72-73) — a missing pool_kernels override here once
+    trained a ((2,2)x5) model whose non-square maps broke InvProjection."""
+    from drsa_audio_tpu.utils.config import ExperimentConfig
+    from drsa_audio_tpu.models.vgg import gtzan_6s_config
+
+    got = ExperimentConfig.gtzan_6s_default().vgg_config()
+    want = gtzan_6s_config()
+    assert got == want

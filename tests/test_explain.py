@@ -149,3 +149,33 @@ def test_shared_denominator_path_exact(model_with_projection, rng, name_map):
     # so tolerate relative to the heatmap scale
     atol = 1e-6 * np.abs(h_tiled).max()
     np.testing.assert_allclose(h_shared, h_tiled, rtol=2e-5, atol=atol)
+
+
+def test_projection_roundtrip_nonsquare_map(rng):
+    """Non-square activation maps (e.g. any pre-block-1-pool layer of the
+    128x256-input 6 s net) need map_hw: the reference InvProjection assumes
+    h=w=sqrt(n) (modify_model.py:110-118) and would corrupt these."""
+    d, K = 16, 4
+    U = random_orthogonal(jax.random.PRNGKey(1), d)
+    x = jnp.asarray(rng.standard_normal((2, d, 4, 8)).astype(np.float32))
+    h = apply_projection(x, U, K)
+    assert h.shape == (2, 32, K, d // K)
+    x_rec = apply_inv_projection(h, U, K, map_hw=(4, 8))
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=1e-4,
+                               atol=1e-5)
+    # square fallback must refuse (not silently mis-shape) a non-square map
+    with pytest.raises(ValueError):
+        apply_inv_projection(h, U, K)
+
+
+def test_feature_map_hw_6s():
+    """Shape propagation through the 6 s net: (2,4) pool squares the
+    128x256 input; DRSA layers {19,26,33} are 32/16/8 square."""
+    from drsa_audio_tpu.models.projection import feature_map_hw
+    from drsa_audio_tpu.models.vgg import gtzan_6s_config, fold_batchnorm, init_params as ip
+    specs = build_layer_specs(gtzan_6s_config())
+    assert feature_map_hw(specs, 19, (128, 256)) == (32, 32)
+    assert feature_map_hw(specs, 26, (128, 256)) == (16, 16)
+    assert feature_map_hw(specs, 33, (128, 256)) == (8, 8)
+    # pre-pool block-1 layers keep the non-square input shape
+    assert feature_map_hw(specs, 2, (128, 256)) == (128, 256)
