@@ -161,20 +161,20 @@ class Flipper:
 
         steps = len(flips)
         flat = perturbed.reshape(steps * b, c, h, w)
+        # forward_batch bounds device memory and may be smaller than b (the
+        # 6 s net OOMs a 16 GB chip above ~600 concurrent clips); scoring
+        # stays on device — only [chunk] floats come back per forward
         fb = self.forward_batch or steps * b
-        fb = max(b, (fb // b) * b)  # chunk on whole-step boundaries
+        flat_ids = jnp.tile(class_ids, steps)
 
-        def class_scores(lg):
-            # scoring stays on device: only [b] floats come back per step
-            return jnp.maximum(lg[jnp.arange(b), class_ids], 0.0)
-
-        preds_dev = [class_scores(logits0)]
+        score0 = jnp.maximum(logits0[jnp.arange(b), class_ids], 0.0)
+        parts = []
         for i in range(0, steps * b, fb):
-            out = forward_func(flat[i:i + fb])
-            nb = out.shape[0] // b
-            for s in range(nb):
-                preds_dev.append(class_scores(out[s * b:(s + 1) * b]))
-        preds = np.asarray(jnp.stack(preds_dev, axis=0))  # [steps+1, b]
+            lg = forward_func(flat[i:i + fb])
+            idx = flat_ids[i:i + fb]
+            parts.append(jnp.maximum(lg[jnp.arange(lg.shape[0]), idx], 0.0))
+        scores = jnp.concatenate(parts).reshape(steps, b)
+        preds = np.asarray(jnp.concatenate([score0[None], scores], axis=0))
 
         flips_arr = np.array([0] + flips)
         aupc = calculate_aupc(preds, flips_arr, n_classes)

@@ -83,12 +83,14 @@ class PixelFlipping:
 
     def __init__(self, specs, params, input_batch, perturbation_size: int = 8,
                  perturbation_mode: str = "constant", num_classes: int = 10,
-                 data_normalization: str = "normalized", forward_batch: int = 0):
+                 data_normalization: str = "normalized", forward_batch: int = 0,
+                 attr_batch_size: int = 0):
         self.specs = specs
         self.params = params
         self.input_batch = jnp.asarray(input_batch)
         self.num_classes = num_classes
         self.samples_per_class = self.input_batch.shape[0] // num_classes
+        self.attr_batch_size = attr_batch_size
         self.flipper = Flipper(perturbation_size, perturbation_mode,
                                data_normalization, forward_batch)
         self._fwd = jax.jit(lambda x: forward(specs, params, x))
@@ -117,10 +119,26 @@ class PixelFlipping:
             composite = self._composite_for(conf, scaled_gamma)
             # balanced consecutive-class batch: ONE LRP pass attributes every
             # sample's own class (the reference loops per class for GPU
-            # memory, pf.py:164-176)
-            R = compute_relevances(
-                self.specs, self.params, self.input_batch, composite,
-                num_classes=self.num_classes)
+            # memory, pf.py:164-176). attr_batch_size chunks the pass per
+            # class (each sample's mask is just its own class's logit, so the
+            # per-class class_idx pass is identical to the block-diagonal
+            # mask) for big-model batches that would OOM the chip.
+            if (self.attr_batch_size
+                    and self.input_batch.shape[0] > self.attr_batch_size):
+                spc = self.samples_per_class
+                parts = []
+                for ci in range(self.num_classes):
+                    cls_batch = self.input_batch[ci * spc:(ci + 1) * spc]
+                    for j in range(0, spc, self.attr_batch_size):
+                        parts.append(compute_relevances(
+                            self.specs, self.params,
+                            cls_batch[j:j + self.attr_batch_size],
+                            composite, class_idx=ci))
+                R = jnp.concatenate(parts, axis=0)
+            else:
+                R = compute_relevances(
+                    self.specs, self.params, self.input_batch, composite,
+                    num_classes=self.num_classes)
             self.heatmaps[name] = np.asarray(R)
             aupc, mean_logits, flips = self.flipper(
                 self._fwd, self.input_batch, R, flipping_mode=flipping_mode)
@@ -135,7 +153,7 @@ class PixelFlipping:
 def concept_flipping(specs, params, input_batch, name_map, layer_idx: int,
                      Us: Dict[str, np.ndarray], num_concepts: int = 4,
                      case: str | None = None, perturbation_size: int = 16,
-                     forward_batch: int = 0):
+                     forward_batch: int = 0, attr_batch_size: int = 32):
     """Flip all concepts' top patches simultaneously (cpf.py:20-84).
 
     Us maps class-name -> trained U for this layer. Returns
@@ -152,7 +170,9 @@ def concept_flipping(specs, params, input_batch, name_map, layer_idx: int,
             specs=specs, params=params, U=jnp.asarray(Us[cls], jnp.float32),
             name_map=name_map, sample_class=cls, num_concepts=num_concepts,
             layer_idx=layer_idx, case=case)
-        heatmaps.append(gen.generate_subspace_heatmaps(batch, concept_flipping=True))
+        heatmaps.append(gen.generate_subspace_heatmaps(
+            batch, concept_flipping=True, attr_batch_size=attr_batch_size,
+            shared_denominators=True))
     R = np.concatenate(heatmaps, axis=0)  # [b, K, h, w]
 
     fwd = jax.jit(lambda t: forward(specs, params, t))
@@ -166,7 +186,8 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
                                 layer_idcs=(1, 4, 7, 10, 13),
                                 num_concepts: int = 4, case=None,
                                 perturbation_size: int = 16,
-                                forward_batch: int = 0):
+                                forward_batch: int = 0,
+                                attr_batch_size: int = 32):
     """AUPC matrix: rows = class whose U is inserted, attributing every
     class's samples (cpf.py:87-181). Returns list per layer of
     [n_classes, n_classes] arrays."""
@@ -189,7 +210,9 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
                     sample_class=attr_cls, num_concepts=num_concepts,
                     layer_idx=layer_idx, case=case)
                 heatmaps.append(gen.generate_subspace_heatmaps(
-                    batch, concept_flipping=True))
+                    batch, concept_flipping=True,
+                    attr_batch_size=attr_batch_size,
+                    shared_denominators=True))
             R = np.concatenate(heatmaps, axis=0)
             aupc, _, _ = flipper(fwd, x, R[:, :, None])
             rows.append(aupc.mean(axis=-1))
@@ -199,7 +222,8 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
 
 def cf_random_subspace(specs, params, input_batch, name_map, layer_idx: int,
                        dim: int, num_concepts: int = 4, case=None,
-                       permutations: int = 3, seed: int = 0):
+                       permutations: int = 3, seed: int = 0,
+                       attr_batch_size: int = 32):
     """Random-orthogonal-U baseline (cpf.py:192-233). Returns the last
     permutation's subspace heatmaps [b, K, h, w]."""
     mapper = CLASS_IDX_MAPPER if case != "toy" else CLASS_IDX_MAPPER_TOY
@@ -220,6 +244,8 @@ def cf_random_subspace(specs, params, input_batch, name_map, layer_idx: int,
                 sample_class=cls, num_concepts=num_concepts,
                 layer_idx=layer_idx, case=case)
             heatmaps.append(gen.generate_subspace_heatmaps(
-                batch, concept_flipping=True))
+                batch, concept_flipping=True,
+                attr_batch_size=attr_batch_size,
+                shared_denominators=True))
         heatmaps = np.concatenate(heatmaps, axis=0)
     return heatmaps

@@ -154,7 +154,10 @@ def explain_lower(
     # broadcasts onto the clones — fewer FLOPs but 31% SLOWER on the v5e
     # (106.6 vs 81.2 ms at 256 clips, identical output): the broadcast
     # reshapes and per-clone pool routing dominate; the pipeline is
-    # layout-bound, not FLOP-bound (BASELINE.md round-2 table).
+    # layout-bound, not FLOP-bound (BASELINE.md round-2 table). It is however
+    # ~Kx LIGHTER on HBM — the tiled path materializes K copies of every
+    # lower-segment activation, which OOMs the 16 GB chip for the 6 s model
+    # (block-1 maps are 128x256x64) — so the eval harness uses it there.
     if shared_denominators:
         R_sub = _lrp_segment_backward_shared(lower, params, acts_lower,
                                              R_masked, K, composite)
@@ -225,18 +228,21 @@ def subspace_heatmaps(
     num_classes: int | None = None,
     one_hot_encoded: bool = False,
     output_mask=None,
+    shared_denominators: bool = False,
 ):
     """Fast path: returns heatmaps [batch, K+1, h, w] (index 0 = standard).
 
     ``specs_proj`` must already contain the projection triple
-    (see models.projection.insert_projection).
+    (see models.projection.insert_projection). ``shared_denominators``
+    trades ~30% speed for ~Kx less HBM (see explain_lower) — use for big
+    models that OOM the chip.
     """
     R_filter, acts_lower, logits = explain_forward_upper(
         specs_proj, params, x, composite, class_idx=class_idx,
         num_classes=num_classes, one_hot_encoded=one_hot_encoded,
         output_mask=output_mask)
     heat = explain_lower(specs_proj, params, acts_lower, R_filter, composite,
-                         num_concepts)
+                         num_concepts, shared_denominators=shared_denominators)
     return heat, logits
 
 
@@ -304,17 +310,39 @@ class HeatmapGenerator:
 
     def generate_subspace_heatmaps(
         self, input_batch, one_hot_encoded=False, concept_flipping=False,
-        flip_all_classes=False,
+        flip_all_classes=False, attr_batch_size: int | None = None,
+        shared_denominators: bool = False,
     ):
         x = jnp.asarray(input_batch)
         self.info["input"] = np.asarray(x)
-        heat, _ = subspace_heatmaps(
-            self.specs_proj, self.params, x, self.composite, self.num_concepts,
-            class_idx=None if flip_all_classes else self.class_idx,
-            num_classes=self.num_classes if flip_all_classes else None,
-            one_hot_encoded=one_hot_encoded,
-        )
-        heat = np.asarray(heat)  # [b, K+1, h, w]
+
+        def run(xc):
+            heat, _ = subspace_heatmaps(
+                self.specs_proj, self.params, xc, self.composite,
+                self.num_concepts,
+                class_idx=None if flip_all_classes else self.class_idx,
+                num_classes=self.num_classes if flip_all_classes else None,
+                one_hot_encoded=one_hot_encoded,
+                shared_denominators=shared_denominators,
+            )
+            return np.asarray(heat)
+
+        # attr_batch_size bounds device memory: the lower backward holds the
+        # K-folded block-1 activations (the 6 s net's 128x256x64 maps OOM a
+        # 16 GB chip near 240 clones), so chunk the attribution like the
+        # DRSA extraction does (preprocessing.preprocess_data). Not valid
+        # with flip_all_classes — its block-diagonal output mask is built
+        # from the position of each sample in the full balanced batch.
+        if attr_batch_size and x.shape[0] > attr_batch_size:
+            if flip_all_classes:
+                raise ValueError(
+                    "attr_batch_size cannot be combined with "
+                    "flip_all_classes (batch-position-dependent mask)")
+            heat = np.concatenate(
+                [run(x[i:i + attr_batch_size])
+                 for i in range(0, x.shape[0], attr_batch_size)], axis=0)
+        else:
+            heat = run(x)  # [b, K+1, h, w]
         if concept_flipping:
             # evaluation path: return raw subspace heatmaps (reference
             # explainer.py:103-109 commented-out early return, used by cpf)

@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--algorithms", nargs="+", default=["drsa", "random"])
     ap.add_argument("--num-concepts", type=int, nargs="+", default=[2, 4, 8, 16])
     ap.add_argument("--layers", type=int, nargs="+", default=[1, 4, 7, 10, 13])
+    ap.add_argument("--interclass-layer", type=int, default=None,
+                    help="also run the interclass concept-flipping matrix "
+                         "(cpf.py:87-181) at this layer")
+    ap.add_argument("--forward-batch", type=int, default=512,
+                    help="flipper forward chunk (bounds device memory)")
+    ap.add_argument("--attr-batch", type=int, default=32,
+                    help="heatmap/LRP attribution chunk (bounds device memory)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -100,7 +107,8 @@ def main():
                     RU = cf_random_subspace(specs, params, batch,
                                             cfg.lrp_name_map, layer_idx,
                                             dim=dim_by_layer[layer_idx],
-                                            num_concepts=k, case=cfg.case)
+                                            num_concepts=k, case=cfg.case,
+                                            attr_batch_size=args.attr_batch)
                     aupc = None
                 else:
                     Us = {cls: load_projection_matrix(
@@ -110,7 +118,9 @@ def main():
                     aupc, _, _, RU = concept_flipping(
                         specs, params, batch, cfg.lrp_name_map, layer_idx,
                         Us, num_concepts=k, case=cfg.case,
-                        perturbation_size=cfg.eval.perturbation_size)
+                        perturbation_size=cfg.eval.perturbation_size,
+                        forward_batch=args.forward_batch,
+                        attr_batch_size=args.attr_batch)
                     np.save(os.path.join(
                         args.out, f"{alg}_aupcs_k{k}_layer{layer_idx}.npy"), aupc)
                 s, se = separability(RU)
@@ -122,10 +132,31 @@ def main():
             np.save(os.path.join(args.out, f"{alg}_sep_peak_k{k}.npy"),
                     np.array([sep_rows, peak_rows]))
 
+    # interclass concept-specificity matrix (cpf.py:87-181) at one layer
+    if args.interclass_layer is not None:
+        from drsa_audio_tpu.xai.eval.harness import interclass_concept_flipping
+        li = args.interclass_layer
+        k0 = args.num_concepts[0]
+        Us_by_layer = {li: {cls: load_projection_matrix(
+            os.path.join(args.subspaces, f"{k0}_concepts", cls, f"layer{li}"))
+            for cls in mapper}}
+        mats = interclass_concept_flipping(
+            specs, params, batch, cfg.lrp_name_map, Us_by_layer,
+            layer_idcs=(li,), num_concepts=k0, case=cfg.case,
+            perturbation_size=cfg.eval.perturbation_size,
+            forward_batch=args.forward_batch,
+            attr_batch_size=args.attr_batch)
+        np.save(os.path.join(args.out, f"interclass_layer{li}.npy"), mats[0])
+        print(f"interclass layer {li}: diag {np.diag(mats[0]).mean():.4f} "
+              f"offdiag {(mats[0].sum() - np.trace(mats[0]))
+                         / (mats[0].size - len(mats[0])):.4f}")
+
     # standard-LRP AUPC baseline (cpf.py:461-472)
     pf = PixelFlipping(specs, params, batch,
                        perturbation_size=cfg.eval.perturbation_size,
-                       num_classes=len(mapper))
+                       num_classes=len(mapper),
+                       forward_batch=args.forward_batch,
+                       attr_batch_size=args.attr_batch)
     grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
              "first_layer": ("wsquare",)}]
     aupc_scores, _, _, _ = pf(grid, scaled_gamma=True)

@@ -81,6 +81,7 @@ def main():
             "--out", eval_dir,
             "--num-concepts", str(args.num_concepts),
             "--layers", *layer_args,
+            "--interclass-layer", layer_args[-1],
         ])
 
     if "prototypes" not in args.skip:

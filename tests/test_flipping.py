@@ -178,3 +178,18 @@ def test_flipper_class_ids_uneven_batch(rng):
     # explicit override: score class 1 for every instance
     aupc_c1, _, _ = flipper(model, x, R, class_ids=np.array([1, 1, 1]))
     assert np.all(np.isfinite(np.asarray(aupc_c1)))
+
+
+def test_flipper_forward_batch_smaller_than_batch(rng):
+    """forward_batch below the batch size (needed to fit the 6 s model on
+    one chip) must give identical AUPC to the all-at-once forward."""
+    model = _TinyModel()
+    b, h, w, p = 4, 8, 8, 2
+    x = np.abs(rng.standard_normal((b, 1, h, w))).astype(np.float32)
+    R = rng.standard_normal((b, 1, 1, h, w)).astype(np.float32)
+
+    aupc_full, mean_full, _ = Flipper(perturbation_size=p)(model, x, R)
+    aupc_fb, mean_fb, _ = Flipper(perturbation_size=p,
+                                  forward_batch=3)(model, x, R)
+    np.testing.assert_allclose(aupc_fb, aupc_full, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mean_fb, mean_full, rtol=1e-5, atol=1e-6)

@@ -130,3 +130,43 @@ def test_preprocess_minibatched_matches_single_pass(toy_model, rng):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ctx2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pixelflipping_chunked_attribution_matches(toy_model, rng):
+    """Per-class class_idx minibatched attribution equals the one-pass
+    block-diagonal-mask attribution (each sample's mask is its own class's
+    logit either way)."""
+    specs, params = toy_model
+    batch = rng.standard_normal((4, 1, 64, 64)).astype(np.float32)
+    grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+             "first_layer": ("wsquare",)}]
+    pf1 = PixelFlipping(specs, params, batch, perturbation_size=16,
+                        num_classes=2)
+    pf2 = PixelFlipping(specs, params, batch, perturbation_size=16,
+                        num_classes=2, attr_batch_size=1, forward_batch=3)
+    a1, _, _, h1 = pf1(grid)
+    a2, _, _, h2 = pf2(grid)
+    (k,) = a1.keys()
+    np.testing.assert_allclose(a2[k], a1[k], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(h2[k], h1[k], rtol=1e-4,
+                               atol=1e-5 * np.abs(h1[k]).max())
+
+
+def test_heatmap_generator_attr_batch_size_matches(toy_model, rng):
+    """Chunked subspace-heatmap generation equals the one-pass path."""
+    from drsa_audio_tpu.xai.explain import HeatmapGenerator
+    specs, params = toy_model
+    U = np.asarray(random_orthogonal(jax.random.PRNGKey(2), 16))
+    batch = rng.standard_normal((5, 1, 64, 64)).astype(np.float32)
+    gens = [HeatmapGenerator(specs=specs, params=params, U=U,
+                             name_map=LRP_NAME_MAP_TOY, sample_class="class1",
+                             num_concepts=2, layer_idx=10, case="toy")
+            for _ in range(2)]
+    h1 = gens[0].generate_subspace_heatmaps(batch, concept_flipping=True)
+    h2 = gens[1].generate_subspace_heatmaps(batch, concept_flipping=True,
+                                            attr_batch_size=2)
+    np.testing.assert_allclose(h2, h1, rtol=1e-5,
+                               atol=1e-6 * np.abs(h1).max())
+    with pytest.raises(ValueError):
+        gens[1].generate_subspace_heatmaps(
+            batch, flip_all_classes=True, attr_batch_size=2)
