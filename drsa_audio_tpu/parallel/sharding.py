@@ -131,7 +131,24 @@ def distributed_init(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None):
     """Multi-host initialization (jax.distributed) for pod-scale runs over
-    DCN; no-op on a single host."""
+    DCN; no-op on a single host.
+
+    Exercised for real by tests/test_multiprocess.py: two processes x four
+    virtual CPU devices form one 8-device global mesh and run the sharded
+    train step with per-process local data."""
     if coordinator_address is None:
         return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def global_from_local(local, mesh: Mesh, global_batch: int,
+                      axis_name: str = "data"):
+    """Multi-host input pipeline primitive: assemble the GLOBAL batch-sharded
+    array from this process's LOCAL shard (each host feeds only the rows its
+    devices own — ``jax.make_array_from_process_local_data``). On a single
+    process this is equivalent to ``shard_batch``."""
+    local = np.asarray(local)
+    spec = P(axis_name, *([None] * (local.ndim - 1)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local,
+        global_shape=(global_batch,) + local.shape[1:])
