@@ -264,10 +264,20 @@ def get_data_loaders(data_path: str, batch_size: int = 16,
 
 class GtzanWaveDataset:
     """Host-side GTZAN training feed: 29 s waveforms + labels
-    (slicing/augment on device)."""
+    (slicing/augment on device).
+
+    Decoded waveforms are cached in RAM: the full 1000-clip GTZAN corpus is
+    ~1.9 GB as float32, so each WAV is decoded exactly ONCE — the reference's
+    only concurrency is DataLoader(num_workers=4) re-decoding per epoch
+    (cxai/model/train.py:319-324); here the first epoch populates the cache
+    through the native threaded decoder (csrc/audio_runtime.cpp via
+    runtime.loader.prefetch_batches) and later epochs are pure memcpy.
+    Pass ``cache=False`` to stream from disk instead (corpora that do not
+    fit in host RAM)."""
 
     def __init__(self, data_path: str, split: str, validation_fold: int = 1,
-                 batch_size: int = 16, num_folds: int = 5, seed: int = 42):
+                 batch_size: int = 16, num_folds: int = 5, seed: int = 42,
+                 cache: bool = True, num_threads: int = 4):
         mapper = CLASS_IDX_MAPPER
         self.paths, self.labels = [], []
         for genre in mapper:
@@ -284,19 +294,44 @@ class GtzanWaveDataset:
         self.rng = np.random.default_rng(seed)
         self.shuffle = split == "train"
         self.min_len = 29 * 16000
+        self.num_threads = num_threads
+        self._cache: np.ndarray | None = None
+        self._use_cache = cache
 
-    def _wave(self, path):
-        wav, _ = load_audio(path)
-        w = wav[0].astype(np.float32)
+    def _fix_len(self, w: np.ndarray) -> np.ndarray:
+        w = w.astype(np.float32, copy=False)
         if len(w) < self.min_len:
             w = np.pad(w, (0, self.min_len - len(w)))
         return w[: self.min_len]
 
+    def preload(self):
+        """Decode the whole corpus once (threaded) into one [N, 29 s] array."""
+        if not self._use_cache or self._cache is not None:
+            return self
+        from drsa_audio_tpu.runtime.loader import prefetch_batches
+        self._cache = np.empty((len(self.paths), self.min_len), np.float32)
+        i = 0
+        for batch in prefetch_batches(self.paths, 64, self.num_threads):
+            for wav in batch:
+                self._cache[i] = self._fix_len(np.asarray(wav)[0])
+                i += 1
+        assert i == len(self.paths)
+        return self
+
+    def _wave(self, path):
+        wav, _ = load_audio(path)
+        return self._fix_len(wav[0])
+
     def __iter__(self):
+        if self._use_cache:
+            self.preload()
         idx = np.arange(len(self.paths))
         if self.shuffle:
             self.rng.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             sel = idx[i:i + self.batch_size]
-            wavs = np.stack([self._wave(self.paths[j]) for j in sel])
+            if self._cache is not None:
+                wavs = self._cache[sel]
+            else:
+                wavs = np.stack([self._wave(self.paths[j]) for j in sel])
             yield wavs, self.labels[sel]

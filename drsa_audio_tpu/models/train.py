@@ -262,6 +262,11 @@ def save_checkpoint(path: str, trainable, state, opt_state, epoch: int, key):
         "trainable": trainable, "state": state, "opt_state": opt_state,
         "epoch": np.asarray(epoch), "key": np.asarray(key),
     }
+    # pull every leaf to host numpy BEFORE saving: orbax records the saving
+    # array's sharding/platform, and a checkpoint written under the axon TPU
+    # platform then refuses to restore in a forced-CPU process ("sharding ...
+    # should be specified, concrete"). Plain numpy leaves are portable.
+    ckpt = jax.tree.map(np.asarray, ckpt)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(os.path.abspath(path), f"ckpt_{epoch}"), ckpt)
 
@@ -272,8 +277,11 @@ def load_checkpoint(path: str, epoch: int | None = None):
     epoch, train.py:310-315)."""
     import orbax.checkpoint as ocp
     if epoch is None:
-        epochs = [int(d.split("_", 1)[1]) for d in os.listdir(path)
-                  if d.startswith("ckpt_")]
+        # only exact ckpt_N names: interrupted saves leave orbax temp dirs
+        # like 'ckpt_30.orbax-checkpoint-tmp-123' that must not be parsed
+        import re
+        epochs = [int(m.group(1)) for d in os.listdir(path)
+                  if (m := re.fullmatch(r"ckpt_(\d+)", d))]
         if not epochs:
             raise FileNotFoundError(f"no ckpt_* under {path}")
         epoch = max(epochs)
@@ -324,25 +332,29 @@ def fit(
     stats = TrainStats()
 
     for epoch in range(1, num_epochs + 1):
+        # keep loss/acc as DEVICE scalars inside the loop: float() would
+        # block on every step (a ~29 ms RPC round-trip on the tunneled TPU),
+        # serializing host batch assembly against device compute. JAX async
+        # dispatch double-buffers the steps; one sync per epoch.
         losses, accs = [], []
         for batch, labels in train_batches():
             key, sub = jax.random.split(key)
             trainable, state, opt_state, loss, acc = train_step(
                 trainable, state, opt_state, jnp.asarray(batch),
                 jnp.asarray(labels), sub)
-            losses.append(float(loss))
-            accs.append(float(acc))
-        stats.train_loss.append(float(np.mean(losses)))
-        stats.train_acc.append(float(np.mean(accs)))
+            losses.append(loss)
+            accs.append(acc)
+        stats.train_loss.append(float(jnp.mean(jnp.stack(losses))))
+        stats.train_acc.append(float(jnp.mean(jnp.stack(accs))))
 
         params_now = merge_params(trainable, state)
         vlosses, vaccs = [], []
         for mels, labels in valid_batches():
             loss, acc, _ = eval_step(params_now, jnp.asarray(mels), jnp.asarray(labels))
-            vlosses.append(float(loss))
-            vaccs.append(float(acc))
-        stats.valid_losses.append(float(np.mean(vlosses)))
-        stats.valid_acc.append(float(np.mean(vaccs)))
+            vlosses.append(loss)
+            vaccs.append(acc)
+        stats.valid_losses.append(float(jnp.mean(jnp.stack(vlosses))))
+        stats.valid_acc.append(float(jnp.mean(jnp.stack(vaccs))))
 
         if verbose:
             print(f"epoch {epoch}: train {stats.train_loss[-1]:.4f}/"

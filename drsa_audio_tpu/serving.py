@@ -135,15 +135,47 @@ class ExplainerService:
         }
 
     def explain_files(self, paths: Sequence[str], class_name: str,
-                      batch_size: int = 32, window_s: float | None = None):
-        """Decode (native prefetch) -> slice -> explain, streaming."""
+                      batch_size: int = 32, window_s: float | None = None,
+                      on_short: str = "pad"):
+        """Decode (native prefetch) -> slice -> explain, streaming.
+
+        Inputs are validated rather than trusted: files at a different sample
+        rate are polyphase-resampled to the service rate on the host, and
+        files shorter than the analysis window are zero-padded
+        (``on_short='pad'``, default), skipped (``'skip'``), or rejected
+        (``'error'``) — a 44.1 kHz or 0.5 s WAV must not silently produce
+        garbage mels or a ragged np.stack crash.
+        """
+        if on_short not in ("pad", "skip", "error"):
+            raise ValueError(f"on_short must be pad|skip|error, got {on_short!r}")
         window = int((window_s or self.config.slice_length) * self.config.sample_rate)
+        target_sr = self.config.sample_rate
+
+        def prepare(path: str) -> np.ndarray | None:
+            wav, sr = load_audio(path)
+            w = wav[0].astype(np.float32)
+            if sr != target_sr:
+                import math
+                from scipy.signal import resample_poly
+                g = math.gcd(int(sr), target_sr)
+                w = resample_poly(w, target_sr // g, int(sr) // g).astype(np.float32)
+            if len(w) < window:
+                if on_short == "skip":
+                    return None
+                if on_short == "error":
+                    raise ValueError(
+                        f"{path}: {len(w)} samples (@{target_sr} Hz) is shorter "
+                        f"than the {window}-sample analysis window")
+                w = np.pad(w, (0, window - len(w)))
+            return w[:window]
 
         def requests():
             batch = []
             for p in paths:
-                wav, sr = load_audio(p)
-                batch.append(wav[0, :window])
+                w = prepare(p)
+                if w is None:
+                    continue
+                batch.append(w)
                 if len(batch) == batch_size:
                     yield ExplainRequest(np.stack(batch), self.mapper[class_name])
                     batch = []

@@ -125,6 +125,12 @@ class PixelFlipping:
             # mask) for big-model batches that would OOM the chip.
             if (self.attr_batch_size
                     and self.input_batch.shape[0] > self.attr_batch_size):
+                if self.input_batch.shape[0] % self.num_classes:
+                    raise ValueError(
+                        "attr_batch_size requires a balanced batch: "
+                        f"{self.input_batch.shape[0]} samples do not divide "
+                        f"into {self.num_classes} classes (the per-class "
+                        "slicing would silently drop the remainder)")
                 spc = self.samples_per_class
                 parts = []
                 for ci in range(self.num_classes):
@@ -171,8 +177,7 @@ def concept_flipping(specs, params, input_batch, name_map, layer_idx: int,
             name_map=name_map, sample_class=cls, num_concepts=num_concepts,
             layer_idx=layer_idx, case=case)
         heatmaps.append(gen.generate_subspace_heatmaps(
-            batch, concept_flipping=True, attr_batch_size=attr_batch_size,
-            shared_denominators=True))
+            batch, concept_flipping=True, attr_batch_size=attr_batch_size, clone_chunk=2))
     R = np.concatenate(heatmaps, axis=0)  # [b, K, h, w]
 
     fwd = jax.jit(lambda t: forward(specs, params, t))
@@ -211,8 +216,7 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
                     layer_idx=layer_idx, case=case)
                 heatmaps.append(gen.generate_subspace_heatmaps(
                     batch, concept_flipping=True,
-                    attr_batch_size=attr_batch_size,
-                    shared_denominators=True))
+                    attr_batch_size=attr_batch_size, clone_chunk=2))
             R = np.concatenate(heatmaps, axis=0)
             aupc, _, _ = flipper(fwd, x, R[:, :, None])
             rows.append(aupc.mean(axis=-1))
@@ -245,7 +249,6 @@ def cf_random_subspace(specs, params, input_batch, name_map, layer_idx: int,
                 layer_idx=layer_idx, case=case)
             heatmaps.append(gen.generate_subspace_heatmaps(
                 batch, concept_flipping=True,
-                attr_batch_size=attr_batch_size,
-                shared_denominators=True))
+                attr_batch_size=attr_batch_size, clone_chunk=2))
         heatmaps = np.concatenate(heatmaps, axis=0)
     return heatmaps

@@ -8,6 +8,7 @@ import pytest
 from drsa_audio_tpu.data.datasets import (
     get_songs_of_genre, get_songlist, get_toy_samplelist,
     shuffle_and_truncate, Loader, get_data_main, ToyWaveDataset,
+    GtzanWaveDataset,
 )
 from drsa_audio_tpu.data.toydata import generate_dataset
 from drsa_audio_tpu.runtime.wavio import write_wav
@@ -55,6 +56,26 @@ def test_get_songlist_dict(gtzan_corpus):
                      genres={"pop": 0, "metal": 1})
     assert set(d) == {"pop", "metal"}
     assert all(os.path.exists(p) for p in d["pop"])
+
+
+def test_gtzan_wave_dataset_cache_matches_streaming(gtzan_corpus):
+    """The in-RAM decode-once cache yields the exact batches the streaming
+    (cache=False) path yields, and decodes each WAV only once."""
+    ds = GtzanWaveDataset(gtzan_corpus, "train", validation_fold=1,
+                          batch_size=3)
+    batches_cached = list(ds)
+    assert ds._cache is not None
+    assert ds._cache.shape == (len(ds.paths), 29 * 16000)
+    ds_stream = GtzanWaveDataset(gtzan_corpus, "train", validation_fold=1,
+                                 batch_size=3, cache=False)
+    batches_stream = list(ds_stream)
+    assert len(batches_cached) == len(batches_stream)
+    for (w1, l1), (w2, l2) in zip(batches_cached, batches_stream):
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(l1, l2)
+    # second epoch reuses the cache (same object) and reshuffles
+    again = list(ds)
+    assert len(again) == len(batches_cached)
 
 
 def test_toy_samplelist_and_dataset(toy_corpus):

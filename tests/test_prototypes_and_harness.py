@@ -152,6 +152,20 @@ def test_pixelflipping_chunked_attribution_matches(toy_model, rng):
                                atol=1e-5 * np.abs(h1[k]).max())
 
 
+def test_pixelflipping_chunked_rejects_unbalanced_batch(toy_model, rng):
+    """attr_batch_size's per-class slicing needs a class-divisible batch;
+    anything else must raise instead of silently dropping samples (ADVICE
+    r2)."""
+    specs, params = toy_model
+    batch = rng.standard_normal((5, 1, 64, 64)).astype(np.float32)
+    grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+             "first_layer": ("wsquare",)}]
+    pf = PixelFlipping(specs, params, batch, perturbation_size=16,
+                       num_classes=2, attr_batch_size=1)
+    with pytest.raises(ValueError, match="balanced"):
+        pf(grid)
+
+
 def test_heatmap_generator_attr_batch_size_matches(toy_model, rng):
     """Chunked subspace-heatmap generation equals the one-pass path."""
     from drsa_audio_tpu.xai.explain import HeatmapGenerator

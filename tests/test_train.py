@@ -125,6 +125,31 @@ def test_fit_and_checkpoint_roundtrip(tmp_path, rng):
                                rtol=1e-5)
 
 
+def test_load_checkpoint_ignores_orbax_tmp_dirs(tmp_path, rng):
+    """A leftover temp dir from an interrupted orbax save must not break the
+    latest-checkpoint scan (ADVICE r2), and saved leaves are plain numpy so
+    a checkpoint written under one platform restores under another."""
+    cfg = small_cfg()
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    mels = rng.standard_normal((8, 1, 64, 64)).astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int32)
+
+    def batches():
+        yield mels, labels
+
+    fit(specs, params, batches, batches, num_epochs=2, lr=1e-3,
+        has_bn=True, model_path=str(tmp_path), save_step=2)
+    # simulate an interrupted save
+    os.makedirs(tmp_path / "ckpt_30.orbax-checkpoint-tmp-123")
+    ckpt = load_checkpoint(str(tmp_path))   # epoch=None -> latest valid
+    assert int(ckpt["epoch"]) == 2
+    # portability: every leaf on disk was written as host numpy (no device
+    # sharding metadata), so the restored tree is numpy too
+    for leaf in jax.tree.leaves(ckpt):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+
+
 def test_fit_resume(tmp_path, rng):
     """Resume restores params + optimizer state and continues training."""
     cfg = small_cfg()
