@@ -196,6 +196,51 @@ def maxpool2d(x: jnp.ndarray, kernel: tuple) -> jnp.ndarray:
     )
 
 
+# ---- NHWC variants: TPU-preferred layout (channels on the 128-lane minor
+# dim) for the LRP lower-segment hot path. The round-3 profiler trace
+# (docs/lower_backward_trace.md) showed 35% of the lower backward is
+# reshape/copy/transpose churn around the NCHW convs; running the whole
+# segment in NHWC removes the per-op relayouts. Weights stay OIHW in the
+# param pytree (transposed per call — 9*Ci*Co floats, negligible).
+
+def conv2d_same_nhwc(x: jnp.ndarray, w_oihw: jnp.ndarray,
+                     b: jnp.ndarray | None) -> jnp.ndarray:
+    """3x3 'same' conv, NHWC x (OIHW params transposed to HWIO)."""
+    w = jnp.transpose(w_oihw, (2, 3, 1, 0))
+    out = jax.lax.conv_general_dilated(
+        x.astype(w.dtype), w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)[None, None, None, :]
+    return out
+
+
+def maxpool2d_nhwc(x: jnp.ndarray, kernel: tuple) -> jnp.ndarray:
+    kh, kw = kernel
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, kh, kw, 1),
+        padding="VALID",
+    )
+
+
+def apply_layer_nhwc(spec: "LayerSpec", params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Inference-mode apply for the conv-section layer kinds in NHWC."""
+    kind = spec.kind
+    if kind == "conv":
+        p = params[spec.name]
+        return conv2d_same_nhwc(x, p["w"], p.get("b"))
+    if kind == "relu":
+        return jnp.maximum(x, 0.0)
+    if kind == "maxpool":
+        return maxpool2d_nhwc(x, spec.config["kernel"])
+    if kind == "dropout":
+        return x
+    raise ValueError(f"apply_layer_nhwc: unsupported kind {kind}")
+
+
 def apply_layer(
     spec: LayerSpec,
     params: dict,

@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drsa_audio_tpu.models.vgg import LayerSpec, apply_layer
+from drsa_audio_tpu.models.vgg import (
+    LayerSpec, apply_layer, apply_layer_nhwc, maxpool2d,
+)
 from drsa_audio_tpu.models.projection import insert_projection
 from drsa_audio_tpu.xai.lrp.engine import (
     Composite,
@@ -33,6 +35,7 @@ from drsa_audio_tpu.xai.lrp.engine import (
     output_mask_class,
     output_mask_all_classes,
     _apply_factory,
+    _apply_factory_nhwc,
     _specialize_rule,
     _RULE_LAYERS,
 )
@@ -75,6 +78,59 @@ def _lrp_segment_backward(specs, params, acts, R, composite):
     return R
 
 
+def _lrp_segment_backward_nhwc(specs, params, acts, R, composite):
+    """NHWC backward over a conv-section segment (conv/relu/maxpool/dropout
+    only; acts recorded in NHWC, R enters and leaves in NHWC).
+
+    TPU-preferred layout: channels ride the 128-lane minor dim through every
+    conv, pool route, gate and rule division, so XLA emits no per-op NCHW
+    relayouts — the round-3 trace showed those at 35% of the lower backward
+    (docs/lower_backward_trace.md)."""
+    for i in range(len(specs) - 1, -1, -1):
+        spec = specs[i]
+        a_in = acts[i]
+        rule = composite.rule_for(spec.name)
+        if rule is not None and spec.kind == "conv":
+            rule_name, kwargs = rule
+            apply_with = _apply_factory_nhwc(spec, params)
+            R = RULES[_specialize_rule(rule_name, specs, i)](
+                apply_with, a_in, R, **kwargs)
+        else:
+            fwd = lambda t, s=spec: apply_layer_nhwc(s, params, t)
+            _, vjp = jax.vjp(fwd, a_in)
+            (R,) = vjp(R)
+    return R
+
+
+def _conv_section(lower):
+    """Split the lower segment into (conv-section, projection spec)."""
+    assert lower[-1].kind == "projection", lower[-1].kind
+    return lower[:-1], lower[-1]
+
+
+def _lower_backward_tiled(lower, params, acts, R, composite, nhwc: bool):
+    """One tiled backward over the lower segment (acts already tiled to R's
+    batch). With nhwc, the conv-section acts are NHWC (see
+    explain_forward_upper) and the projection rule runs NCHW first."""
+    if not nhwc:
+        return _lrp_segment_backward(lower, params, acts, R, composite)
+    conv_sec, proj_spec = _conv_section(lower)
+    a_proj = acts[-1]
+    rule = composite.rule_for(proj_spec.name)
+    if rule is not None:
+        rule_name, kwargs = rule
+        apply_with = _apply_factory(proj_spec, params)
+        R = RULES[rule_name](apply_with, a_proj, R, **kwargs)
+    else:
+        fwd = lambda t: apply_layer(proj_spec, params, t, train=False)
+        _, vjp = jax.vjp(fwd, a_proj)
+        (R,) = vjp(R)
+    R = jnp.transpose(R, (0, 2, 3, 1))
+    R = _lrp_segment_backward_nhwc(conv_sec, params, list(acts[:-1]), R,
+                                   composite)
+    return jnp.transpose(R, (0, 3, 1, 2))
+
+
 def explain_forward_upper(
     specs_proj: Sequence[LayerSpec],
     params: dict,
@@ -84,6 +140,7 @@ def explain_forward_upper(
     num_classes: int | None = None,
     one_hot_encoded: bool = False,
     output_mask=None,
+    nhwc: bool = False,
 ):
     """Stage 1+2 of the fast path: full forward (recording lower-segment
     activations) + ONE upper backward down to the subspace filter.
@@ -92,15 +149,29 @@ def explain_forward_upper(
     logits -> R_out function (lets a traced one-hot select the class so one
     compiled program serves every class — serving.ExplainerService).
 
+    ``nhwc=True`` runs and records the conv section of the lower segment in
+    NHWC (channels on the TPU lane dim); the matching explain_lower call must
+    then also pass nhwc=True. The projection input stays NCHW.
+
     Returns (R_filter [b,n,K,d_k], acts_lower tuple, logits). Exposed
     separately so bench.py can time the stages individually."""
     lower, upper = _split_at_filter(specs_proj)
 
     acts_lower = []
     h = x
-    for spec in lower:
-        acts_lower.append(h)
-        h = apply_layer(spec, params, h, train=False)
+    if nhwc:
+        conv_sec, proj_spec = _conv_section(lower)
+        h = jnp.transpose(h, (0, 2, 3, 1))
+        for spec in conv_sec:
+            acts_lower.append(h)
+            h = apply_layer_nhwc(spec, params, h)
+        h = jnp.transpose(h, (0, 3, 1, 2))
+        acts_lower.append(h)                    # projection input, NCHW
+        h = apply_layer(proj_spec, params, h, train=False)
+    else:
+        for spec in lower:
+            acts_lower.append(h)
+            h = apply_layer(spec, params, h, train=False)
     acts_upper = []
     for spec in upper:
         acts_upper.append(h)
@@ -128,12 +199,19 @@ def explain_lower(
     num_concepts: int,
     shared_denominators: bool = False,
     clone_chunk: int | None = None,
+    nhwc: bool = False,
 ):
     """Stage 3 of the fast path: K concept maskings of the filter relevance
     pushed through the lower segment under vmap; the standard heatmap is
     derived as the sum (LRP backward is linear in R).
 
+    ``nhwc`` must match the explain_forward_upper call that recorded
+    ``acts_lower`` (conv-section acts in NHWC; incompatible with
+    shared_denominators).
+
     Returns heatmaps [b, K+1, h, w] (index 0 = standard)."""
+    if nhwc and shared_denominators:
+        raise ValueError("shared_denominators expects NCHW activations")
     lower, _ = _split_at_filter(specs_proj)
     K = num_concepts
     b = R_filter.shape[0]
@@ -175,8 +253,8 @@ def explain_lower(
                       .reshape((kc * a.shape[0],) + a.shape[1:])
                       for a in acts_lower]
             Rc = R_m[k0:k0 + kc].reshape((kc * b,) + R_filter.shape[1:])
-            parts.append(_lrp_segment_backward(lower, params, acts_k, Rc,
-                                               composite))
+            parts.append(_lower_backward_tiled(lower, params, acts_k, Rc,
+                                               composite, nhwc))
         R_sub = jnp.concatenate(parts, axis=0)
     elif shared_denominators:
         R_sub = _lrp_segment_backward_shared(lower, params, acts_lower,
@@ -185,13 +263,36 @@ def explain_lower(
         acts_k = [jnp.broadcast_to(a[None], (K,) + a.shape)
                   .reshape((K * a.shape[0],) + a.shape[1:])
                   for a in acts_lower]
-        R_sub = _lrp_segment_backward(lower, params, acts_k, R_masked,
-                                      composite)
+        R_sub = _lower_backward_tiled(lower, params, acts_k, R_masked,
+                                      composite, nhwc)
     R_sub = R_sub.reshape((K, b) + R_sub.shape[1:])
     R_sub = jnp.moveaxis(R_sub, 0, 1)      # [b, K, c, h, w]
     R_std = jnp.sum(R_sub, axis=1, keepdims=True)
     R_in = jnp.concatenate([R_std, R_sub], axis=1)  # [b, K+1, c, h, w]
     return R_in[:, :, 0]                   # channel dim is 1
+
+
+def maxpool_route_mask(a: jnp.ndarray, kernel: tuple) -> jnp.ndarray:
+    """First-argmax routing mask of a stride==kernel MaxPool, shape of ``a``.
+
+    Replicates jax's reduce_window(max) vjp exactly — the full cotangent goes
+    to the FIRST maximal element in row-major window order (verified on CPU
+    and TPU backends, incl. all-tied windows; tested against the vjp) — but
+    is computed from the primal ONCE at batch b, so K relevance clones can
+    share it: pool backward becomes repeat(R) * mask with no
+    select_and_scatter at K*b and no primal tiling."""
+    kh, kw = kernel
+    m = maxpool2d(a, kernel)
+    m_up = jnp.repeat(jnp.repeat(m, kh, axis=-2), kw, axis=-1)
+    eq = a == m_up
+    h_idx = jnp.arange(a.shape[-2]) % kh
+    w_idx = jnp.arange(a.shape[-1]) % kw
+    pos = (h_idx[:, None] * kw + w_idx[None, :]).astype(jnp.float32)
+    big = jnp.float32(kh * kw)
+    cand = jnp.where(eq, pos, big)
+    winner = -maxpool2d(-cand, kernel)          # min-pool of candidate indices
+    winner_up = jnp.repeat(jnp.repeat(winner, kh, axis=-2), kw, axis=-1)
+    return (eq & (cand == winner_up)).astype(a.dtype)
 
 
 def _lrp_segment_backward_shared(specs, params, acts, R, K, composite):
@@ -230,9 +331,19 @@ def _lrp_segment_backward_shared(specs, params, acts, R, K, composite):
             R = R.reshape((R.shape[0],) + a_in.shape[1:])
         elif spec.kind == "dropout":
             pass  # identity in eval mode
+        elif spec.kind == "maxpool":
+            # routing depends only on the shared primal: compute the
+            # first-argmax mask ONCE at batch b and apply it to the upsampled
+            # clones — no select_and_scatter at K*b, no primal tiling, no
+            # per-clone vmap (the round-2 shared path's vmapped vjp was a
+            # measured 31% regression; the trace showed select_and_scatter at
+            # 13% of the stage — docs/lower_backward_trace.md)
+            kh, kw = spec.config["kernel"]
+            mask = maxpool_route_mask(a_in, (kh, kw))
+            R_up = jnp.repeat(jnp.repeat(R, kh, axis=-2), kw, axis=-1)
+            R = _mul_small(R_up, mask, K)
         else:
-            # maxpool & any other unmapped layer: routing depends on the
-            # shared primal — build ONE vjp at batch b, apply per clone
+            # any other unmapped layer: ONE vjp at batch b, applied per clone
             fwd = lambda t, s=spec: apply_layer(s, params, t, train=False)
             _, vjp = jax.vjp(fwd, a_in)
             Rk = R.reshape((K, b) + R.shape[1:])
@@ -253,6 +364,7 @@ def subspace_heatmaps(
     output_mask=None,
     shared_denominators: bool = False,
     clone_chunk: int | None = None,
+    nhwc: bool | None = None,
 ):
     """Fast path: returns heatmaps [batch, K+1, h, w] (index 0 = standard).
 
@@ -261,15 +373,19 @@ def subspace_heatmaps(
     chip, ``clone_chunk`` keeps the fast tiled backward and bounds HBM by
     running the K clones in sequential chunks (bit-identical, preferred);
     ``shared_denominators`` trades ~30% speed for ~Kx less HBM instead
-    (see explain_lower).
+    (see explain_lower). ``nhwc`` (default: on unless shared_denominators)
+    runs the conv section of the lower segment in the TPU-preferred NHWC
+    layout — see _lrp_segment_backward_nhwc.
     """
+    if nhwc is None:
+        nhwc = not shared_denominators
     R_filter, acts_lower, logits = explain_forward_upper(
         specs_proj, params, x, composite, class_idx=class_idx,
         num_classes=num_classes, one_hot_encoded=one_hot_encoded,
-        output_mask=output_mask)
+        output_mask=output_mask, nhwc=nhwc)
     heat = explain_lower(specs_proj, params, acts_lower, R_filter, composite,
                          num_concepts, shared_denominators=shared_denominators,
-                         clone_chunk=clone_chunk)
+                         clone_chunk=clone_chunk, nhwc=nhwc)
     return heat, logits
 
 

@@ -213,6 +213,65 @@ def _apply_factory(spec: LayerSpec, params: dict):
     raise ValueError(f"no apply factory for layer kind {spec.kind}")
 
 
+def _apply_factory_nhwc(spec: LayerSpec, params: dict):
+    """NHWC twin of _apply_factory for conv layers (lower-segment hot path;
+    see models.vgg.conv2d_same_nhwc). Same contract: apply_with / .grouped /
+    .grouped_multi / .bias_of — biases broadcast on the minor (channel) dim."""
+    from drsa_audio_tpu.models.vgg import conv2d_same_nhwc
+    if spec.kind != "conv":
+        raise ValueError(f"_apply_factory_nhwc: only conv, got {spec.kind}")
+    p = params[spec.name]
+
+    def apply_with(w_mod, b_mod):
+        w = w_mod(p["w"])
+        b = b_mod(p["b"]) if (b_mod is not None and "b" in p) else None
+        return lambda x: conv2d_same_nhwc(x, w, b)
+
+    def grouped(w_mods, b_mods):
+        g = len(w_mods)
+        w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
+        b_stack = jnp.concatenate([
+            (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+            for m in b_mods], axis=0)
+        c_out = p["w"].shape[0]
+
+        def fn(x):
+            out = conv2d_same_nhwc(x, w_stack, b_stack)
+            return tuple(out[..., i * c_out:(i + 1) * c_out] for i in range(g))
+
+        return fn
+
+    def bias_of(b_mod):
+        b = b_mod(p["b"]).astype(jnp.float32)
+        return b[None, None, None, :]
+
+    def grouped_multi(w_mods, b_mods):
+        g = len(w_mods)
+        w_stack = jnp.concatenate([m(p["w"]) for m in w_mods], axis=0)
+        b_stack = jnp.concatenate([
+            (m(p["b"]) if m is not None else jnp.zeros_like(p["b"]))
+            for m in b_mods], axis=0)
+        c_out = p["w"].shape[0]
+        w_hwio = jnp.transpose(w_stack, (2, 3, 1, 0))
+
+        def fn(*xs):
+            xg = jnp.concatenate(xs, axis=-1)
+            out = jax.lax.conv_general_dilated(
+                xg.astype(w_hwio.dtype), w_hwio, window_strides=(1, 1),
+                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+            ).astype(jnp.float32)
+            out = out + b_stack.astype(jnp.float32)[None, None, None, :]
+            return tuple(out[..., i * c_out:(i + 1) * c_out] for i in range(g))
+
+        return fn
+
+    apply_with.grouped = grouped
+    apply_with.grouped_multi = grouped_multi
+    apply_with.bias_of = bias_of
+    return apply_with
+
+
 _RULE_LAYERS = ("conv", "linear", "projection", "invprojection", "subspacefilter")
 
 

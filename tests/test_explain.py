@@ -178,6 +178,27 @@ def test_clone_chunked_path_bit_identical(model_with_projection, rng):
     np.testing.assert_array_equal(h_full, h_tiled)
 
 
+@pytest.mark.parametrize("kernel", [(2, 2), (2, 4), (4, 4)])
+def test_maxpool_route_mask_matches_vjp(kernel, rng):
+    """First-argmax route mask == reduce_window(max) vjp, including tied
+    windows (post-relu zeros tie all four positions)."""
+    from drsa_audio_tpu.xai.explain import maxpool_route_mask
+    from drsa_audio_tpu.models.vgg import maxpool2d
+    kh, kw = kernel
+    a = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    # force ties: zero whole windows + duplicate values inside windows
+    a[0, 0, :kh, :kw] = 0.0
+    a[1, 1, :kh, :] = 7.0
+    a = jnp.asarray(np.maximum(a, 0.0))          # post-relu regime
+    g = jnp.asarray(rng.standard_normal(
+        (2, 3, 8 // kh, 8 // kw)).astype(np.float32))
+    _, vjp = jax.vjp(lambda t: maxpool2d(t, kernel), a)
+    want = np.asarray(vjp(g)[0])
+    mask = maxpool_route_mask(a, kernel)
+    got = np.asarray(jnp.repeat(jnp.repeat(g, kh, axis=-2), kw, axis=-1) * mask)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_shared_relu_tie_gradient_matches_vjp(rng):
     """At exactly-zero relu inputs, jnp.maximum's vjp splits the tie 0.5/0.5;
     the shared path's explicit gate must match bit-for-bit (ADVICE r2)."""
