@@ -83,12 +83,14 @@ def tpu_clips_per_sec(specs, params):
     @jax.jit
     def stage_upper(mels):
         R_f, acts, _ = explain_forward_upper(specs_proj, params, mels,
-                                             composite, class_idx=0)
+                                             composite, class_idx=0, nhwc=True)
         return R_f, acts
 
     @jax.jit
     def stage_lower(acts, R_f):
-        return explain_lower(specs_proj, params, acts, R_f, composite, K)
+        # nhwc=True auto-enables the fused Pallas chain (the production path)
+        return explain_lower(specs_proj, params, acts, R_f, composite, K,
+                             nhwc=True)
 
     n_dev = jax.device_count()
     batch = TPU_BATCH * max(n_dev, 1)
@@ -108,10 +110,23 @@ def tpu_clips_per_sec(specs, params):
     dt = time.perf_counter() - t0
     clips_per_sec = batch * TPU_ITERS / dt
 
-    # ---- MFU: analyzed FLOPs of the fused program vs per-chip peak
+    # ---- MFU: analyzed FLOPs vs per-chip peak. The production path runs
+    # the lower backward in Pallas custom calls whose FLOPs XLA's
+    # cost_analysis cannot see, so the FLOP count comes from lowering the
+    # ALGORITHMICALLY IDENTICAL all-XLA variant (fused=False; compile is
+    # cached from earlier rounds) while the wall clock is the fused path's.
     extras = {}
     try:
-        cost = explain.lower(wavs).compile().cost_analysis()
+        @jax.jit
+        def explain_xla(wavs):
+            x = peak_normalize(wavs)
+            mels = logmel(x, fe)[:, None]
+            heat, _ = subspace_heatmaps(specs_proj, params, mels, composite,
+                                        K, class_idx=0, nhwc=False,
+                                        fused=False)
+            return heat
+
+        cost = explain_xla.lower(wavs).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))

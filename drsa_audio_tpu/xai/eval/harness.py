@@ -192,10 +192,14 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
                                 num_concepts: int = 4, case=None,
                                 perturbation_size: int = 16,
                                 forward_batch: int = 0,
-                                attr_batch_size: int = 32):
+                                attr_batch_size: int = 32,
+                                return_samples: bool = False):
     """AUPC matrix: rows = class whose U is inserted, attributing every
     class's samples (cpf.py:87-181). Returns list per layer of
-    [n_classes, n_classes] arrays."""
+    [n_classes, n_classes] arrays — or, with ``return_samples``, the
+    per-instance tensors [n_classes, n_classes, samples_per_class] so
+    callers can put bootstrap CIs on the diagonal-vs-off-diagonal gap
+    (xai.eval.stats.interclass_gap_ci; round-2 VERDICT weak #4)."""
     mapper = CLASS_IDX_MAPPER if case != "toy" else CLASS_IDX_MAPPER_TOY
     x = jnp.asarray(input_batch)
     per_class = x.shape[0] // len(mapper)
@@ -219,7 +223,8 @@ def interclass_concept_flipping(specs, params, input_batch, name_map,
                     attr_batch_size=attr_batch_size, clone_chunk=2))
             R = np.concatenate(heatmaps, axis=0)
             aupc, _, _ = flipper(fwd, x, R[:, :, None])
-            rows.append(aupc.mean(axis=-1))
+            rows.append(np.asarray(aupc) if return_samples
+                        else aupc.mean(axis=-1))
         all_layers.append(np.stack(rows, axis=0))
     return all_layers
 

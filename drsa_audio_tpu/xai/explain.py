@@ -200,6 +200,7 @@ def explain_lower(
     shared_denominators: bool = False,
     clone_chunk: int | None = None,
     nhwc: bool = False,
+    fused: bool | None = None,
 ):
     """Stage 3 of the fast path: K concept maskings of the filter relevance
     pushed through the lower segment under vmap; the standard heatmap is
@@ -207,7 +208,10 @@ def explain_lower(
 
     ``nhwc`` must match the explain_forward_upper call that recorded
     ``acts_lower`` (conv-section acts in NHWC; incompatible with
-    shared_denominators).
+    shared_denominators). ``fused`` (default: auto when nhwc and the segment
+    matches the supported topology) runs the conv section through the
+    per-instance Pallas chain (xai.lrp.pallas_chain) — the round-3 answer to
+    the 95%-glue profile of the XLA lower backward.
 
     Returns heatmaps [b, K+1, h, w] (index 0 = standard)."""
     if nhwc and shared_denominators:
@@ -244,7 +248,36 @@ def explain_lower(
     # clone's math is independent in the tiled path, so chunking matches the
     # one-shot tiled backward up to conv-accumulation reassociation at the
     # smaller batch (tested at rtol 2e-5).
-    if clone_chunk is not None and clone_chunk < K:
+    if fused is None:
+        fused = (nhwc and clone_chunk is None and not shared_denominators)
+    if fused:
+        from drsa_audio_tpu.xai.lrp.pallas_chain import (
+            plan_chain, fused_lower_conv_backward)
+        conv_sec, proj_spec = _conv_section(lower)
+        plan = plan_chain(conv_sec, params, composite)
+    else:
+        plan = None
+    if plan is not None:
+        # projection (epsilon) backward at K*b — the maps here are small
+        a_proj = acts_lower[-1]
+        a_projk = jnp.broadcast_to(a_proj[None], (K,) + a_proj.shape).reshape(
+            (K * b,) + a_proj.shape[1:])
+        rule = composite.rule_for(proj_spec.name)
+        if rule is not None:
+            rname, rkw = rule
+            apply_with = _apply_factory(proj_spec, params)
+            R = RULES[rname](apply_with, a_projk, R_masked, **rkw)
+        else:
+            fwd = lambda t: apply_layer(proj_spec, params, t, train=False)
+            _, vjp = jax.vjp(fwd, a_projk)
+            (R,) = vjp(R_masked)
+        R5 = R.reshape((K, b) + R.shape[1:])            # [K,b,d,h,w]
+        R_nhwc = jnp.transpose(R5, (1, 0, 3, 4, 2))     # [b,K,h,w,d]
+        heat = fused_lower_conv_backward(plan, params, list(acts_lower[:-1]),
+                                         R_nhwc, K)      # [b,K,Hf,Wf]
+        R_sub = jnp.moveaxis(heat, 1, 0).reshape(
+            (K * b, 1) + heat.shape[2:])
+    elif clone_chunk is not None and clone_chunk < K:
         R_m = R_masked.reshape((K, b) + R_filter.shape[1:])
         parts = []
         for k0 in range(0, K, clone_chunk):
@@ -365,6 +398,7 @@ def subspace_heatmaps(
     shared_denominators: bool = False,
     clone_chunk: int | None = None,
     nhwc: bool | None = None,
+    fused: bool | None = None,
 ):
     """Fast path: returns heatmaps [batch, K+1, h, w] (index 0 = standard).
 
@@ -385,7 +419,7 @@ def subspace_heatmaps(
         output_mask=output_mask, nhwc=nhwc)
     heat = explain_lower(specs_proj, params, acts_lower, R_filter, composite,
                          num_concepts, shared_denominators=shared_denominators,
-                         clone_chunk=clone_chunk, nhwc=nhwc)
+                         clone_chunk=clone_chunk, nhwc=nhwc, fused=fused)
     return heat, logits
 
 

@@ -173,10 +173,15 @@ def relu_gate(a):
 
 
 def _row_partner(x):
-    """out[..., h, :, :] = x[..., h^1, :, :] (2-row window partner)."""
+    """out[..., h, :, :] = x[..., h^1, :, :] (2-row window partner).
+
+    Written as an explicit pair swap — Mosaic has no `rev` lowering."""
     *lead, H, G, L = x.shape
-    y = x.reshape(*lead, H // 2, 2, G, L)[..., ::-1, :, :]
-    return y.reshape(*lead, H, G, L)
+    y = x.reshape(*lead, H // 2, 2, G, L)
+    ev = jax.lax.index_in_dim(y, 0, axis=y.ndim - 3, keepdims=False)
+    od = jax.lax.index_in_dim(y, 1, axis=y.ndim - 3, keepdims=False)
+    sw = jnp.stack([od, ev], axis=-3)
+    return sw.reshape(*lead, H, G, L)
 
 
 def _col_partner(x, C: int):
@@ -280,3 +285,334 @@ def pool2x2_backward(R_coarse, mask_fine, C: int):
 
 def stabilize(z, eps: float):
     return z + jnp.where(z >= 0, eps, -eps).astype(z.dtype)
+
+
+def conv3x3_packed_vpu(x, wlanes, C: int):
+    """Depthwise accumulate: out = sum_taps shift_tap(x) * wlanes[dy, dx, :]
+    (lane-broadcast weight patterns, no channel mixing — used for the
+    first-layer transposed conv whose output has a single channel, where a
+    block-diagonal matmul would waste 32x on the padded output dim)."""
+    H = x.shape[-3]
+    S = (col_shift(x, -1, C), x, col_shift(x, 1, C))
+    acc = None
+    pad_cfg = [(0, 0, 0)] * (x.ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
+    for dx in range(3):
+        sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
+        for dy in range(3):
+            sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=x.ndim - 3)
+            d = sl * wlanes[dy, dx]
+            acc = d if acc is None else acc + d
+    return acc
+
+
+# ------------------------------------------------------------ chain blocks
+
+def _gamma_core(R, x, wz1, wz3, wT1, wT3, biases, Ci, Co, gamma, stab,
+                leading_gate=True):
+    """Backward through [relu-above?] + gamma_nonneg conv, all packed.
+
+    R: [K, H, G, Pi*Co] (relevance at the conv OUTPUT level);
+    x: [H, G, 128] (Pi-packed conv input); biases: [3, Pi*Co] rows =
+    (bias1 = b+g*b^+, bias0 = b, bias2 = b+g*b^-). Matches
+    rules.lrp_gamma_nonneg (z2 is the bias-only term; z_true derived
+    algebraically from z1+z3). Returns R at the conv INPUT level
+    [K, H, G, 128]."""
+    bias1, bias0, bias2 = biases[0], biases[1], biases[2]
+    z1 = conv3x3_packed(x, wz1, Ci) + bias1
+    z3 = conv3x3_packed(x, wz3, Ci)
+    z_true = (z1 + z3 - bias1) * np.float32(1.0 / (2.0 + gamma)) + bias0
+    if leading_gate:
+        R = R * relu_gate(z_true)
+    m1 = jnp.where(z_true > 0, 1.0, 0.0) / stabilize(z1 + bias2, stab)
+    m3 = jnp.where(z_true < 0, 1.0, 0.0) / stabilize(z3, stab)
+    c = (conv3x3_packed(R * m1.astype(R.dtype), wT1, Co)
+         + conv3x3_packed(R * m3.astype(R.dtype), wT3, Co))
+    return x * c
+
+
+def _inner_block_kernel(R_ref, x_ref, apre_ref, wz1_ref, wz3_ref, wT1_ref,
+                        wT3_ref, b_ref, out_ref, *, Ci, Co, gamma, stab,
+                        leading_gate):
+    """One grid step = one instance: [relu gate] -> gamma conv rule ->
+    maxpool(2,2) backward, fine mask from the recorded pre-relu activation
+    of the block below (pool input = relu(apre))."""
+    R = R_ref[0]
+    x = x_ref[0]
+    Rn = _gamma_core(R, x, wz1_ref[:], wz3_ref[:], wT1_ref[:], wT3_ref[:],
+                     b_ref[:], Ci, Co, gamma, stab, leading_gate)
+    apre = apre_ref[0]
+    mask = maxpool2x2_fine_mask(jnp.maximum(apre, 0.0), Ci)
+    out_ref[0] = pool2x2_backward(Rn, mask, Ci)
+
+
+def _gamma_only_kernel(R_ref, x_ref, wz1_ref, wz3_ref, wT1_ref,
+                       wT3_ref, b_ref, out_ref, *, Ci, Co, gamma, stab,
+                       leading_gate):
+    """Gamma block without the trailing pool (the bottom inner conv; pool +
+    first layer run in _first_layer_kernel — split keeps each kernel under
+    the 16 MB VMEM budget at the 128x128 fine level)."""
+    R = R_ref[0]
+    x = x_ref[0]
+    out_ref[0] = _gamma_core(R, x, wz1_ref[:], wz3_ref[:], wT1_ref[:],
+                             wT3_ref[:], b_ref[:], Ci, Co, gamma, stab,
+                             leading_gate)
+
+
+def _first_layer_kernel(R_ref, F_ref, wl0_ref, mred_ref, out_ref,
+                        *, Ci, K):
+    """Pool backward + relu gate + first-layer rule (wsquare/flat).
+
+    F (computed in XLA at batch b) folds the pool route mask, the relu gate
+    and the input-independent first-layer denominator into ONE fine-level
+    multiplier: s0 = route(R) * F; the transposed conv to the single input
+    channel runs as lane-pattern VPU accumulation + one block-diagonal
+    reduction matmul. Clones loop so only one fine map is live at a time."""
+    F = F_ref[0]
+    for k in range(K):
+        s0 = pool2x2_backward(R_ref[0, k], F, Ci)
+        acc = conv3x3_packed_vpu(s0, wl0_ref[:], Ci)
+        out_ref[0, k] = _mm(acc, mred_ref[:])
+
+
+# ------------------------------------------------------------- host plan
+
+def _params():
+    """Raise the scoped-VMEM ceiling: the 16 MB default is the compiler's
+    conservative scoped limit, not the physical VMEM size; the big-map
+    kernels peak just above it."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _interpret() -> bool:
+    """Interpret mode off only on real TPU backends (the axon tunnel
+    registers as 'axon'); CPU tests run the kernels interpreted."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _gmod_pos(g):
+    return lambda p: p + g * jnp.maximum(p, 0.0)
+
+
+def _gmod_neg(g):
+    return lambda p: p + g * jnp.minimum(p, 0.0)
+
+
+def plan_chain(conv_section: Sequence, params: dict, composite):
+    """Validate the conv-section against the supported topology and collect
+    per-block metadata. Returns None when unsupported (caller falls back to
+    the XLA path).
+
+    Supported: [conv, relu, maxpool(2,2)] * n + [conv, relu] head read
+    backward, n >= 1; first conv rule wsquare/flat with any Ci; inner conv
+    rules gamma (non-negative-input specialization applies by construction);
+    every inner channel count divides 128 and is <= 64 at pool levels."""
+    specs = list(conv_section)
+    if len(specs) < 5 or (len(specs) - 2) % 3 != 0:
+        return None
+    kinds = [s.kind for s in specs]
+    if kinds[-1] != "relu" or kinds[0] != "conv":
+        return None
+    n_blocks = (len(specs) - 2) // 3
+    convs = []
+    for bi in range(n_blocks + 1):
+        i = bi * 3
+        if specs[i].kind != "conv" or specs[i + 1].kind != "relu":
+            return None
+        if bi < n_blocks and (specs[i + 2].kind != "maxpool"
+                              or tuple(specs[i + 2].config["kernel"]) != (2, 2)):
+            return None
+        convs.append(i)
+    # rules
+    first_rule = composite.rule_for(specs[0].name)
+    if first_rule is None or first_rule[0] not in ("wsquare", "flat"):
+        return None
+    inner = []
+    for i in convs[1:]:
+        rule = composite.rule_for(specs[i].name)
+        if rule is None or rule[0] not in ("gamma", "gamma_nonneg"):
+            return None
+        p = params[specs[i].name]
+        Ci = p["w"].shape[1]
+        Co = p["w"].shape[0]
+        if 128 % Ci or 128 % Co or Ci > 64 or Co > 128 or "b" not in p:
+            return None
+        inner.append((i, rule[1]))
+    if not inner:
+        return None
+    return {"specs": specs, "convs": convs, "inner": inner,
+            "first_rule": first_rule}
+
+
+def _prep_inner_weights(params, spec, kwargs):
+    """Packed weight set for one inner gamma conv."""
+    p = params[spec.name]
+    w, b = p["w"], p["b"]
+    Ci = w.shape[1]
+    Pi = 128 // Ci
+    g = float(kwargs.get("gamma", 0.25))
+    stab = float(kwargs.get("stabilizer", 1e-6))
+    gp, gn = _gmod_pos(g), _gmod_neg(g)
+    return {
+        "wz1": pack_conv_weights(w, Pi, gp),
+        "wz3": pack_conv_weights(w, Pi, gn),
+        "wT1": pack_convT_weights(w, Pi, gp),
+        "wT3": pack_convT_weights(w, Pi, gn),
+        "biases": jnp.stack([pack_bias(b, Pi, gp), pack_bias(b, Pi),
+                             pack_bias(b, Pi, gn)]),
+        "gamma": g, "stab": stab, "Ci": Ci, "Co": w.shape[0], "Pi": Pi,
+    }
+
+
+def _prep_first_weights(params, spec, rule, fine_hw):
+    """First-layer (wsquare/flat) packed pieces: the input-independent
+    denominator map z0, the lane-pattern transposed-conv taps and the
+    block-diagonal channel-reduction matrix."""
+    from drsa_audio_tpu.models.vgg import conv2d_same
+    p = params[spec.name]
+    w, b = p["w"], p.get("b")
+    name, kwargs = rule
+    stab0 = float(kwargs.get("stabilizer", 1e-6))
+    Co, Cin = w.shape[0], w.shape[1]
+    P = 128 // Co
+    H, W = fine_hw
+    if name == "wsquare":
+        wm, bm = w * w, (b * b if b is not None else None)
+    else:                                   # flat
+        wm, bm = jnp.ones_like(w), None
+    ones = jnp.ones((1, Cin, H, W), jnp.float32)
+    z0_nchw = conv2d_same(ones, wm, bm)                     # [1, Co, H, W]
+    z0 = jnp.transpose(z0_nchw, (0, 2, 3, 1))               # [1, H, W, Co]
+    # transposed taps: wT[dy, dx, co] = wm[co, 0, 2-dy, 2-dx]; Cin == 1 for
+    # both supported model families (mel input)
+    assert Cin == 1, "first conv with Cin > 1 unsupported in fused chain"
+    wl = jnp.stack([jnp.stack([jnp.tile(wm[:, 0, 2 - dy, 2 - dx], P)
+                               for dx in range(3)]) for dy in range(3)])
+    mred = blockdiag(jnp.ones((Co, 1), jnp.float32), P)     # [128, P]
+    return {"z0": z0, "wl0": wl, "mred": mred, "stab0": stab0, "P0": P,
+            "Co0": Co}
+
+
+def _route_mask_nhwc(a: jnp.ndarray) -> jnp.ndarray:
+    """XLA first-argmax (2,2)-pool route mask, NHWC (see
+    explain.maxpool_route_mask for the NCHW twin + semantics)."""
+    dims, strides = (1, 2, 2, 1), (1, 2, 2, 1)
+    m = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max, dims, strides, "VALID")
+    up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+    eq = a == up(m)
+    h_idx = jnp.arange(a.shape[1]) % 2
+    w_idx = jnp.arange(a.shape[2]) % 2
+    pos = (h_idx[:, None] * 2 + w_idx[None, :]).astype(jnp.float32)
+    cand = jnp.where(eq, pos[None, :, :, None], 4.0)
+    winner = -jax.lax.reduce_window(-cand, -jnp.inf, jax.lax.max, dims,
+                                    strides, "VALID")
+    return (eq & (cand == up(winner))).astype(a.dtype)
+
+
+def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
+    """Run the fused chain. acts_nhwc: recorded NHWC inputs per conv-section
+    layer (batch-leading, from explain_forward_upper(nhwc=True));
+    R_nhwc: [b, K, H, W, C] relevance at the TOP conv's output level.
+    Returns heatmaps [b, K, Hf, Wf] at the model input level."""
+    specs = plan["specs"]
+    inner = plan["inner"]
+    b = R_nhwc.shape[0]
+
+    # packed activations per inner conv: x = acts[i], a_pre = acts[i - 2]
+    weights = [
+        _prep_inner_weights(params, specs[i], kwargs) for i, kwargs in inner
+    ]
+    first_spec = specs[0]
+    a1 = acts_nhwc[1]                                  # first conv's output
+    Hf, Wf = a1.shape[1], a1.shape[2]
+    fw = _prep_first_weights(params, first_spec, plan["first_rule"],
+                             (Hf, Wf))
+
+    R = pack(R_nhwc, weights[-1]["Pi"])
+
+    def act_packed(idx, C):
+        return pack(acts_nhwc[idx], 128 // C)
+
+    # walk inner convs top-down; all but the bottom fuse the trailing pool
+    for bi in range(len(inner) - 1, -1, -1):
+        i, _ = inner[bi]
+        wset = weights[bi]
+        Ci, Co = wset["Ci"], wset["Co"]
+        R = pack(unpack(R, Co), wset["Pi"])   # free repack to this grouping
+        x = act_packed(i, Ci)
+        H, G = x.shape[1], x.shape[2]
+        weight_args = (wset["wz1"], wset["wz3"], wset["wT1"], wset["wT3"],
+                       wset["biases"])
+        weight_specs = [
+            pl.BlockSpec(wset["wz1"].shape, lambda n: (0, 0, 0, 0)),
+            pl.BlockSpec(wset["wz3"].shape, lambda n: (0, 0, 0, 0)),
+            pl.BlockSpec(wset["wT1"].shape, lambda n: (0, 0, 0, 0)),
+            pl.BlockSpec(wset["wT3"].shape, lambda n: (0, 0, 0, 0)),
+            pl.BlockSpec(wset["biases"].shape, lambda n: (0, 0)),
+        ]
+        if bi > 0:
+            apre = act_packed(i - 2, Ci)
+            HF, GF = apre.shape[1], apre.shape[2]
+            kern = functools.partial(
+                _inner_block_kernel, Ci=Ci, Co=Co, gamma=wset["gamma"],
+                stab=wset["stab"], leading_gate=True)
+            R = pl.pallas_call(
+                kern,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, K) + R.shape[2:],
+                                 lambda n: (n, 0, 0, 0, 0)),
+                    pl.BlockSpec((1, H, G, 128), lambda n: (n, 0, 0, 0)),
+                    pl.BlockSpec((1, HF, GF, 128), lambda n: (n, 0, 0, 0)),
+                ] + weight_specs,
+                out_specs=pl.BlockSpec((1, K, HF, GF, 128),
+                                       lambda n: (n, 0, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, 128),
+                                               jnp.float32),
+                compiler_params=_params(),
+                interpret=_interpret(),
+            )(R, x, apre, *weight_args)
+        else:
+            # bottom inner conv: gamma only (pool + first layer below)
+            kern = functools.partial(
+                _gamma_only_kernel, Ci=Ci, Co=Co, gamma=wset["gamma"],
+                stab=wset["stab"], leading_gate=True)
+            R = pl.pallas_call(
+                kern,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, K) + R.shape[2:],
+                                 lambda n: (n, 0, 0, 0, 0)),
+                    pl.BlockSpec((1, H, G, 128), lambda n: (n, 0, 0, 0)),
+                ] + weight_specs,
+                out_specs=pl.BlockSpec((1, K, H, G, 128),
+                                       lambda n: (n, 0, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b, K, H, G, 128),
+                                               jnp.float32),
+                compiler_params=_params(),
+                interpret=_interpret(),
+            )(R, x, *weight_args)
+
+    # first layer: F (route mask * relu gate / stabilized z0) in XLA at
+    # batch b, then the slim pool+convT kernel
+    C1 = weights[0]["Ci"]
+    F = (_route_mask_nhwc(jnp.maximum(a1, 0.0)) * relu_gate(a1)
+         / stabilize(fw["z0"], fw["stab0"]))
+    Fp = pack(F, 128 // C1)
+    HF, GF = Fp.shape[1], Fp.shape[2]
+    P0 = fw["P0"]
+    kern = functools.partial(_first_layer_kernel, Ci=C1, K=K)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
+            pl.BlockSpec((1, HF, GF, 128), lambda n: (n, 0, 0, 0)),
+            pl.BlockSpec(fw["wl0"].shape, lambda n: (0, 0, 0)),
+            pl.BlockSpec(fw["mred"].shape, lambda n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, HF, GF, P0), lambda n: (n, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(R, Fp, fw["wl0"], fw["mred"])
+    return out.reshape(b, K, HF, GF * P0)

@@ -88,21 +88,132 @@ def synth_clip(g: int, rng: np.random.Generator) -> np.ndarray:
     return clip.astype(np.float32)
 
 
+# --------------------------------------------------- multi-concept recipe
+#
+# Round-2 judged the flagship rehearsal inconclusive: the v1 recipe gives
+# each genre ONE dominant harmonic stack, so relevance concentrates in a
+# single blob and subspace splitting cannot beat the standard map
+# (runs/gtzan_synth/RESULTS.md; round-2 VERDICT "what's missing" #1). The
+# multi-concept recipe mirrors the toy generator's design (reference
+# dataprep/toydata/generate_toydata.ipynb cells 2/5): each genre owns FOUR
+# spectrally and rhythmically disjoint concepts, each individually
+# genre-discriminative, present stochastically per clip in random time
+# segments — the ground-truth structure DRSA exists to recover.
+
+def concept_bank(g: int):
+    """Four disjoint concepts for genre g, parameters interleaved across
+    genres so every concept band is genre-unique."""
+    return [
+        # 1) low harmonic stack (85-330 Hz fundamentals)
+        {"kind": "harm", "f0": 85.0 * 2.0 ** (g * 0.21),
+         "n_harm": 3 + g % 3, "decay": 0.55 + 0.04 * (g % 5)},
+        # 2) mid-band melody: stepped tone sequence, genre rate + intervals
+        {"kind": "melody", "base": 560.0 * 2.0 ** (g * 0.10),
+         "rate": 1.8 + 0.45 * g, "steps": [0, 3, 7, 5, 10, 7][g % 4:][:4]},
+        # 3) pulsed noise band (2-4.2 kHz, genre-unique band + pulse rate)
+        {"kind": "noiseband", "band": (2050.0 + 210.0 * g, 2400.0 + 210.0 * g),
+         "pulse": 1.3 + 0.5 * g},
+        # 4) high pulse train / chirp (4.6-6.8 kHz)
+        {"kind": "chirp", "f_lo": 4600.0 + 190.0 * g,
+         "f_hi": 4900.0 + 190.0 * g, "rate": 2.5 + 0.9 * g},
+    ]
+
+
+def _segments_mask(n: int, rng, coverage=(0.5, 0.9)) -> np.ndarray:
+    """Random on/off envelope: 2-4 smooth on-intervals covering 50-90%."""
+    target = rng.uniform(*coverage)
+    n_seg = rng.integers(2, 5)
+    mask = np.zeros(n)
+    seg_len = int(target * n / n_seg)
+    for s in range(n_seg):
+        start = rng.integers(0, max(1, n - seg_len))
+        mask[start:start + seg_len] = 1.0
+    # smooth edges (20 ms ramp) to avoid clicks
+    ramp = int(0.02 * SR)
+    kernel = np.ones(ramp) / ramp
+    return np.convolve(mask, kernel, mode="same")
+
+
+def render_concept(c: dict, t: np.ndarray, rng) -> np.ndarray:
+    n = len(t)
+    if c["kind"] == "harm":
+        f0 = c["f0"] * (1.0 + rng.uniform(-0.02, 0.02))
+        out = np.zeros(n)
+        for h in range(1, c["n_harm"] + 1):
+            out += c["decay"] ** (h - 1) * np.sin(
+                2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+    elif c["kind"] == "melody":
+        rate = c["rate"] * (1.0 + rng.uniform(-0.06, 0.06))
+        step_idx = (t * rate).astype(int) % len(c["steps"])
+        semis = np.asarray(c["steps"])[step_idx]
+        f = c["base"] * 2.0 ** (semis / 12.0)
+        phase = 2 * np.pi * np.cumsum(f) / SR
+        out = np.sin(phase + rng.uniform(0, 2 * np.pi))
+    elif c["kind"] == "noiseband":
+        lo, hi = c["band"]
+        spec = np.fft.rfft(rng.standard_normal(n))
+        freqs = np.fft.rfftfreq(n, 1 / SR)
+        spec[(freqs < lo) | (freqs > hi)] = 0.0
+        out = np.fft.irfft(spec, n)
+        out /= np.abs(out).max() + 1e-9
+        pulse = (np.sin(2 * np.pi * c["pulse"] * t
+                        + rng.uniform(0, 2 * np.pi)) > 0.2).astype(float)
+        out *= 0.3 + 0.7 * pulse
+    else:                                   # chirp / high pulse train
+        rate = c["rate"] * (1.0 + rng.uniform(-0.06, 0.06))
+        frac = (t * rate) % 1.0
+        f = c["f_lo"] + (c["f_hi"] - c["f_lo"]) * frac
+        phase = 2 * np.pi * np.cumsum(f) / SR
+        gate = (frac < 0.55).astype(float)
+        out = np.sin(phase) * gate
+    return out / (np.abs(out).max() + 1e-9)
+
+
+def synth_clip_multi(g: int, rng: np.random.Generator) -> np.ndarray:
+    """One clip = a random subset (>= 2) of the genre's four concepts, each
+    active in random time segments, plus shared distractors."""
+    n = int(DUR_S * SR)
+    t = np.arange(n) / SR
+    bank = concept_bank(g)
+    active = rng.random(len(bank)) < 0.75
+    while active.sum() < 2:
+        active = rng.random(len(bank)) < 0.75
+    clip = np.zeros(n)
+    for c, on in zip(bank, active):
+        if not on:
+            continue
+        level = rng.uniform(0.6, 1.0)
+        clip += level * render_concept(c, t, rng) * _segments_mask(n, rng)
+    # shared distractors: sinusoids + noise floor (genre-uninformative)
+    for _ in range(rng.integers(2, 5)):
+        fd = rng.uniform(100, 7000)
+        clip += rng.uniform(0.04, 0.1) * np.sin(
+            2 * np.pi * fd * t + rng.uniform(0, 2 * np.pi))
+    clip += 0.01 * rng.standard_normal(n)
+    clip = clip / (np.abs(clip).max() + 1e-9) * 0.9
+    return clip.astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
     ap.add_argument("--songs-per-genre", type=int, default=15)
     ap.add_argument("--num-folds", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--multi-concept", action="store_true",
+                    help="4 stochastic disjoint concepts per genre "
+                         "(toy-generator style) instead of the v1 "
+                         "single-signature recipe")
     args = ap.parse_args()
 
+    synth = synth_clip_multi if args.multi_concept else synth_clip
     rng = np.random.default_rng(args.seed)
     folds = [[] for _ in range(args.num_folds)]
     for genre, g in CLASS_IDX_MAPPER.items():
         gdir = os.path.join(args.out, "genres_original", genre)
         os.makedirs(gdir, exist_ok=True)
         for i in range(args.songs_per_genre):
-            clip = synth_clip(g, rng)
+            clip = synth(g, rng)
             rel = f"{genre}/{genre}.{i:05d}.wav"
             write_wav(os.path.join(args.out, "genres_original", rel),
                       clip[None], SR)

@@ -145,11 +145,23 @@ def main():
             layer_idcs=(li,), num_concepts=k0, case=cfg.case,
             perturbation_size=cfg.eval.perturbation_size,
             forward_batch=args.forward_batch,
-            attr_batch_size=args.attr_batch)
-        np.save(os.path.join(args.out, f"interclass_layer{li}.npy"), mats[0])
-        print(f"interclass layer {li}: diag {np.diag(mats[0]).mean():.4f} "
-              f"offdiag {(mats[0].sum() - np.trace(mats[0]))
-                         / (mats[0].size - len(mats[0])):.4f}")
+            attr_batch_size=args.attr_batch, return_samples=True)
+        samples = mats[0]                          # [n, n, per-class samples]
+        mat = samples.mean(axis=-1)
+        np.save(os.path.join(args.out, f"interclass_layer{li}.npy"), mat)
+        np.save(os.path.join(args.out, f"interclass_layer{li}_samples.npy"),
+                samples)
+        from drsa_audio_tpu.xai.eval.stats import interclass_gap_ci
+        gap, lo, hi = interclass_gap_ci(samples)
+        print(f"interclass layer {li}: diag {np.diag(mat).mean():.4f} "
+              f"offdiag {(mat.sum() - np.trace(mat))
+                         / (mat.size - len(mat)):.4f} "
+              f"gap {gap:.4f} [95% CI {lo:.4f}, {hi:.4f}]"
+              + ("" if lo > 0 else " — NOT significant"))
+        with open(os.path.join(args.out, f"interclass_layer{li}_ci.json"),
+                  "w") as f:
+            json.dump({"gap": gap, "ci95": [lo, hi],
+                       "significant": bool(lo > 0)}, f)
 
     # standard-LRP AUPC baseline (cpf.py:461-472)
     pf = PixelFlipping(specs, params, batch,
@@ -160,9 +172,32 @@ def main():
     grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
              "first_layer": ("wsquare",)}]
     aupc_scores, _, _, _ = pf(grid, scaled_gamma=True)
+    std_scores = None
     for name, scores in aupc_scores.items():
+        std_scores = np.asarray(scores)
         np.save(os.path.join(args.out, "standard_R.npy"), scores)
         print(f"standard LRP ({name}): AUPC {scores.mean():.4f}")
+
+    # paired bootstrap CI of (DRSA - standard) AUPC per layer: same balanced
+    # batch, same instances, so pairing removes between-clip variance
+    # (round-2 VERDICT weak #4 / next-round #5)
+    if std_scores is not None and "drsa" in args.algorithms:
+        from drsa_audio_tpu.xai.eval.stats import paired_diff_ci
+        cis = {}
+        for k in args.num_concepts:
+            for layer_idx in args.layers:
+                p = os.path.join(args.out, f"drsa_aupcs_k{k}_layer{layer_idx}.npy")
+                if not os.path.exists(p):
+                    continue
+                d, lo, hi = paired_diff_ci(np.load(p), std_scores)
+                verdict = ("DRSA better" if hi < 0 else
+                           "standard better" if lo > 0 else "not significant")
+                cis[f"k{k}_layer{layer_idx}"] = {
+                    "mean_diff": d, "ci95": [lo, hi], "verdict": verdict}
+                print(f"DRSA-vs-standard K={k} layer={layer_idx}: "
+                      f"diff {d:+.4f} [95% CI {lo:+.4f}, {hi:+.4f}] {verdict}")
+        with open(os.path.join(args.out, "drsa_vs_standard_ci.json"), "w") as f:
+            json.dump(cis, f, indent=1)
 
 
 if __name__ == "__main__":

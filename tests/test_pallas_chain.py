@@ -145,3 +145,68 @@ def test_relu_gate_matches_vjp(rng):
     want = np.asarray(vjp(jnp.ones_like(a))[0])
     got = np.asarray(pc.relu_gate(a))
     np.testing.assert_array_equal(got, want)
+
+
+# ----------------------------------------------------- integration (fused)
+
+def _fused_vs_tiled(cfg_fn, name_map, d, layer_idx, rng, hw):
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+
+    specs = build_layer_specs(cfg_fn())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    U = random_orthogonal(jax.random.PRNGKey(7), d)
+    specs_proj = insert_projection(specs, layer_idx, U, 4)
+    composite = class_composite(name_map, 4)
+    x = jnp.asarray(rng.standard_normal((2, 1) + hw).astype(np.float32))
+    h_ref, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                 class_idx=0, nhwc=True, fused=False)
+    h_fused, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                   class_idx=0, nhwc=True, fused=True)
+    h_ref, h_fused = np.asarray(h_ref), np.asarray(h_fused)
+    atol = 1e-5 * np.abs(h_ref).max()
+    np.testing.assert_allclose(h_fused, h_ref, rtol=1e-4, atol=atol)
+
+
+def test_fused_chain_toy_matches_tiled(rng):
+    from drsa_audio_tpu.models.vgg import toy_config
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+    _fused_vs_tiled(toy_config, LRP_NAME_MAP_TOY, 16, 10, rng, (64, 64))
+
+
+def test_fused_chain_gtzan3s_matches_tiled(rng):
+    from drsa_audio_tpu.models.vgg import gtzan_3s_config
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN
+    _fused_vs_tiled(gtzan_3s_config, LRP_NAME_MAP_GTZAN, 64, 10, rng,
+                    (128, 128))
+
+
+def test_plan_chain_rejects_unsupported():
+    """Unsupported topologies return None so explain_lower falls back to the
+    XLA path (e.g. the 6s model: C=100 channels, (2,4) block-1 pool)."""
+    import jax as _jax
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_6s_config, fold_batchnorm,
+        toy_config)
+    from drsa_audio_tpu.xai.explain import class_composite, _split_at_filter, _conv_section
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.xai.lrp.pallas_chain import plan_chain
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+
+    # toy model with an epsilon-on-first-conv composite: rule mismatch
+    specs = build_layer_specs(toy_config())
+    params = init_params(specs, _jax.random.PRNGKey(0))
+    U = random_orthogonal(_jax.random.PRNGKey(7), 16)
+    specs_proj = insert_projection(specs, 10, U, 4)
+    bad_map = [("features.0", ("epsilon", {"epsilon": 1e-6}))] + [
+        (n, r) for n, r in LRP_NAME_MAP_TOY if n != "features.0"]
+    composite = class_composite(bad_map, 4)
+    lower, _ = _split_at_filter(specs_proj)
+    conv_sec, _ = _conv_section(lower)
+    assert plan_chain(conv_sec, params, composite) is None
+    # supported composite -> plan exists
+    good = class_composite(LRP_NAME_MAP_TOY, 4)
+    assert plan_chain(conv_sec, params, good) is not None
