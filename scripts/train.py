@@ -68,19 +68,24 @@ def main():
                     w, jax.random.PRNGKey(0), fe, False, False))(jnp.asarray(wavs))
                 yield np.asarray(mels), labels
     else:
+        # device_cache: the decoded corpus lives in device HBM; each batch
+        # is an on-device gather (no per-step waveform transfer)
         train_ds = GtzanWaveDataset(cfg.data_path, "train",
                                     cfg.train.validation_fold,
-                                    cfg.train.batch_size)
+                                    cfg.train.batch_size, device_cache=True)
         vbs = max(cfg.train.batch_size // fe.num_chunks, 1)
         valid_ds = GtzanWaveDataset(cfg.data_path, "valid",
-                                    cfg.train.validation_fold, vbs)
+                                    cfg.train.validation_fold, vbs,
+                                    device_cache=True)
         mel_fn = lambda w, k: gtzan_augment_and_mel(w, k, fe, True, True)
 
         def valid_batches():
             import jax.numpy as jnp
             for wavs, labels in valid_ds:
+                # keep mels on device: a host round-trip per valid batch
+                # costs a tunnel RPC each way
                 mels = valid_chunks_to_mels(jnp.asarray(wavs), fe)
-                yield np.asarray(mels), np.repeat(labels, fe.num_chunks)
+                yield mels, np.repeat(labels, fe.num_chunks)
 
     params, stats = fit(
         specs, params,
