@@ -426,6 +426,9 @@ def plan_chain(conv_section: Sequence, params: dict, composite):
     first_rule = composite.rule_for(specs[0].name)
     if first_rule is None or first_rule[0] not in ("wsquare", "flat"):
         return None
+    w0 = params[specs[0].name]["w"]
+    if w0.shape[1] != 1:          # mel input is single-channel; fall back
+        return None
     inner = []
     for i in convs[1:]:
         rule = composite.rule_for(specs[i].name)

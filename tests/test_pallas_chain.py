@@ -210,3 +210,12 @@ def test_plan_chain_rejects_unsupported():
     # supported composite -> plan exists
     good = class_composite(LRP_NAME_MAP_TOY, 4)
     assert plan_chain(conv_sec, params, good) is not None
+    # multi-channel first conv: the packed first-layer kernel assumes mel
+    # input (Cin == 1) — plan must fall back, not assert
+    import jax.numpy as jnp
+    w0 = params[conv_sec[0].name]["w"]
+    params_mc = dict(params)
+    params_mc[conv_sec[0].name] = {
+        **params[conv_sec[0].name],
+        "w": jnp.concatenate([w0, w0, w0], axis=1)}
+    assert plan_chain(conv_sec, params_mc, good) is None
