@@ -52,25 +52,35 @@ def pad_to_multiple(x: np.ndarray, multiple: int):
 
 def sharded_heatmaps(specs, params, composite, mesh: Mesh, class_idx: int):
     """Build a mesh-sharded standard-heatmap program: input batch sharded on
-    'data', params replicated; returns the jitted fn."""
+    'data', params replicated; returns the jitted fn.
+
+    Uses ``jax.shard_map`` (not bare GSPMD propagation): attribution is
+    embarrassingly parallel over clips, and the LRP engine's clone-major
+    ``[K, b] -> [K*b]`` batch fold interleaves the sharded axis, which makes
+    the GSPMD partitioner give up and REPLICATE the whole backward on every
+    device (measured: n-times total work on the virtual mesh, round-3
+    scripts/bench_scaling_cpu.py). shard_map runs the unmodified single-
+    device program on each local shard — no collectives are needed."""
     from drsa_audio_tpu.xai.lrp.engine import lrp, output_mask_class
 
     in_sharding = NamedSharding(mesh, P("data", None, None, None))
-    out_sharding = NamedSharding(mesh, P("data", None, None, None))
 
-    @jax.jit
     def run(x):
         R, logits, _ = lrp(specs, params, x, composite,
                            output_mask_class(class_idx))
         return R
 
-    return lambda x: run(jax.device_put(jnp.asarray(x), in_sharding))
+    sharded = jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=P("data", None, None, None),
+        out_specs=P("data", None, None, None), check_vma=False))
+    return lambda x: sharded(jax.device_put(jnp.asarray(x), in_sharding))
 
 
 def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
                              num_concepts: int, class_idx: int,
                              frontend_config=None):
-    """The fused clip -> mel -> subspace-heatmaps program, batch-sharded.
+    """The fused clip -> mel -> subspace-heatmaps program, batch-sharded
+    via ``jax.shard_map`` (see sharded_heatmaps for why not bare GSPMD).
 
     If frontend_config is given the input is raw waveforms [b, T]; otherwise
     precomputed mels [b, 1, h, w].
@@ -78,7 +88,6 @@ def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
     from drsa_audio_tpu.xai.explain import subspace_heatmaps
     from drsa_audio_tpu.ops.frontend import logmel, peak_normalize
 
-    @jax.jit
     def run(x):
         if frontend_config is not None:
             x = peak_normalize(x)
@@ -89,23 +98,42 @@ def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
         return heat
 
     ndim = 2 if frontend_config is not None else 4
-    in_sharding = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
-    return lambda x: run(jax.device_put(jnp.asarray(x), in_sharding))
+    in_spec = P("data", *([None] * (ndim - 1)))
+    in_sharding = NamedSharding(mesh, in_spec)
+    sharded = jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=in_spec,
+        out_specs=P("data", None, None, None), check_vma=False))
+    return lambda x: sharded(jax.device_put(jnp.asarray(x), in_sharding))
 
 
 def sharded_drsa_extraction(specs, params, composite, mesh: Mesh,
                             layer_idx: int, class_idx: int,
                             num_locations: int | None = None):
-    """Batch-sharded act/ctx vector extraction (the getdrsadata hot loop)."""
+    """Batch-sharded act/ctx vector extraction (the getdrsadata hot loop),
+    via ``jax.shard_map`` (see sharded_heatmaps for why not bare GSPMD).
+    The per-clip location-sampling keys are split GLOBALLY and sharded with
+    the data, so results are bit-equal to the single-device run at any mesh
+    size."""
     from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
 
-    @jax.jit
-    def run(x, key):
+    def run(x, clip_keys):
         return preprocess_data(specs, params, x, composite, layer_idx,
-                               class_idx, num_locations=num_locations, key=key)
+                               class_idx, num_locations=num_locations,
+                               clip_keys=clip_keys)
 
     in_sharding = NamedSharding(mesh, P("data", None, None, None))
-    return lambda x, key: run(jax.device_put(jnp.asarray(x), in_sharding), key)
+    key_sharding = NamedSharding(mesh, P("data", None))
+    sharded = jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=(P("data", None, None, None), P("data", None)),
+        out_specs=P("data"), check_vma=False))
+
+    def call(x, key):
+        x = jnp.asarray(x)
+        clip_keys = jax.random.split(key, x.shape[0])
+        return sharded(jax.device_put(x, in_sharding),
+                       jax.device_put(clip_keys, key_sharding))
+
+    return call
 
 
 def make_sharded_train_step(specs, optimizer, mesh: Mesh,

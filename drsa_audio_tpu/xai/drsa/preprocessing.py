@@ -47,14 +47,19 @@ def compute_context_vectors(activation_vectors, relevance_vectors, eps: float = 
     return relevance_vectors / (activation_vectors + eps)
 
 
-def sample_spatial_locations(key, batch_size: int, map_hw, num_locations: int):
+def sample_spatial_locations(key, batch_size: int, map_hw, num_locations: int,
+                             clip_keys=None):
     """Per-instance random spatial positions without replacement
     (reference preprocessing.py:196-216), as a jittable permutation trick.
+
+    ``clip_keys`` ([batch, 2] key array) overrides the internal per-clip key
+    split — the sharded extraction path precomputes the GLOBAL split and
+    shards it with the data so every mesh size draws identical locations.
 
     Returns int32 [batch, num_locations] indices into the flattened map.
     """
     total = map_hw[0] * map_hw[1]
-    keys = jax.random.split(key, batch_size)
+    keys = jax.random.split(key, batch_size) if clip_keys is None else clip_keys
 
     def pick(k):
         return jax.random.permutation(k, total)[:num_locations]
@@ -99,6 +104,7 @@ def preprocess_data(
     one_hot_encoded: bool = False,
     key: jax.Array | None = None,
     attr_batch_size: int | None = 64,
+    clip_keys: jax.Array | None = None,
 ):
     """Build (activation_vectors, context_vectors) for DRSA optimization
     (reference preprocess_data, preprocessing.py:18-89).
@@ -130,7 +136,8 @@ def preprocess_data(
         if key is None:
             key = jax.random.PRNGKey(0)
         idcs = sample_spatial_locations(
-            key, input_batch.shape[0], act_maps.shape[-2:], num_locations)
+            key, input_batch.shape[0], act_maps.shape[-2:], num_locations,
+            clip_keys=clip_keys)
         act_vecs = gather_vectors(act_maps, idcs)
         rel_vecs = gather_vectors(rel_maps, idcs)
     else:

@@ -3,12 +3,22 @@
 
 Real multi-chip hardware is unavailable in this container (one v5e chip
 through a tunnel), so this measures the POD STORY's mechanics instead of
-absolute perf: the fused explain pipeline jitted over an n-device
+absolute perf: the fused explain pipeline shard_mapped over an n-device
 jax.sharding mesh, with (a) correctness vs the single-device result,
 (b) per-device partitioning evidence (each device holds batch/n clips), and
 (c) wall clock. The host has ONE physical CPU core, so wall clock cannot
 speed up — the curve documents that partitioning adds no materialized
-overhead (flat total time = perfect partition on serialized hardware).
+overhead (flat-or-better total time = perfect partition on serialized
+hardware).
+
+Round-3 finding this script exposed: under bare GSPMD propagation (jit with
+a sharded input, no shard_map) the partitioner hit the LRP engine's
+clone-major [K, b] -> [K*b] batch fold — which INTERLEAVES the sharded
+axis — gave up, and silently REPLICATED the whole backward on every device
+(n-times total work, output replicated). parallel/sharding.py now wraps the
+explain/extraction pipelines in jax.shard_map, which runs the unmodified
+single-device program on each shard; this script guards the partitioning
+(rows_per_device must be batch/n).
 
 Each device count runs in a SUBPROCESS because the virtual-device count is
 fixed at backend init (round-2 VERDICT next-round #6).
@@ -85,6 +95,14 @@ def main():
         rec = json.loads(line)
         results.append(rec)
         print(line, flush=True)
+    # partitioning: each device must hold exactly batch/n rows (a replicated
+    # output here is the GSPMD-gives-up failure mode this script exists to
+    # catch)
+    for r in results:
+        expect = 64 // r["n_devices"]
+        assert r["rows_per_device"] == [expect], (
+            f"n={r['n_devices']}: rows_per_device {r['rows_per_device']} != "
+            f"[{expect}] — pipeline is replicating, not partitioning")
     # correctness: identical result under every partitioning
     sums = {r["checksum"] for r in results}
     ref = results[0]["checksum"]

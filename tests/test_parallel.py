@@ -59,7 +59,17 @@ def test_sharded_explain_pipeline_from_waveform(toy_model, rng):
     mesh = get_mesh()
     fn = sharded_explain_pipeline(specs_proj, params, composite, mesh, K,
                                   class_idx=1, frontend_config=cfg)
-    heat = np.asarray(fn(wavs))
+    heat = fn(wavs)
+    # partitioning guard: each device must hold exactly batch/n rows of the
+    # OUTPUT. Bare GSPMD propagation hits the LRP engine's clone-major
+    # [K, b] -> [K*b] fold (interleaves the sharded axis), gives up, and
+    # silently replicates the whole backward on every device — the
+    # shard_map rewrite exists to prevent exactly that (round 3,
+    # scripts/bench_scaling_cpu.py).
+    n = len(mesh.devices.flat)
+    rows = sorted({s.data.shape[0] for s in heat.addressable_shards})
+    assert rows == [8 // n], (rows, n)
+    heat = np.asarray(heat)
     assert heat.shape == (8, K + 1, 64, 64)
     assert np.all(np.isfinite(heat))
 
