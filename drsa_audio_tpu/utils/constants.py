@@ -101,6 +101,20 @@ LRP_NAME_MAP_GTZAN_6S = [
     ("classifier.8", ("epsilon", {"epsilon": 1e-7})),
 ]
 
+def rescale_gamma(name_map, gamma: float):
+    """Rescale every gamma rule in a name map to a new base value,
+    preserving the per-depth decay pattern (base = the map's maximum
+    gamma). Used for composite-sensitivity legs of the flipping eval —
+    e.g. LRP_NAME_MAP_GTZAN_6S (base 0.3, reference getdrsadata.py:82)
+    rescaled to the 0.4 the reference's 3 s pipeline uses (cpf.py:420)."""
+    base = max(kw["gamma"] for _, (rule, kw) in name_map if rule == "gamma")
+    return [
+        (n, (rule, {**kw, "gamma": kw["gamma"] * gamma / base}
+             if rule == "gamma" else kw))
+        for n, (rule, kw) in name_map
+    ]
+
+
 # DRSA extraction layers for the 6 s model: the deep ReLU outputs
 # (reference getdrsadata.py:119).
 DRSA_LAYERS_GTZAN_6S = [19, 26, 33]

@@ -29,6 +29,9 @@ def main():
                     help="truncate each class's chunk batch to N clips "
                          "(reference budget: 300 clips x 20 locations = "
                          "6000 vectors per class-layer)")
+    ap.add_argument("--gamma", type=float,
+                    help="rescale the case name map's gamma rules to this "
+                         "base value (decay pattern preserved)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,11 @@ def main():
     params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
     specs = build_layer_specs(cfg.vgg_config())
     specs, params = fold_batchnorm(specs, params)
-    composite = Composite.from_list(cfg.lrp_name_map)
+    name_map = cfg.lrp_name_map
+    if args.gamma is not None:
+        from drsa_audio_tpu.utils.constants import rescale_gamma
+        name_map = rescale_gamma(name_map, args.gamma)
+    composite = Composite.from_list(name_map)
 
     mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
     key = jax.random.PRNGKey(cfg.drsa.seed)

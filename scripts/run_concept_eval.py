@@ -38,6 +38,10 @@ def main():
                     help="flipper forward chunk (bounds device memory)")
     ap.add_argument("--attr-batch", type=int, default=32,
                     help="heatmap/LRP attribution chunk (bounds device memory)")
+    ap.add_argument("--gamma", type=float,
+                    help="rescale the case name map's gamma rules to this "
+                         "base value (decay pattern preserved) — composite-"
+                         "sensitivity legs")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -62,6 +66,11 @@ def main():
         cfg = ExperimentConfig.gtzan_6s_default()
     else:
         cfg = ExperimentConfig()
+
+    name_map = cfg.lrp_name_map
+    if args.gamma is not None:
+        from drsa_audio_tpu.utils.constants import rescale_gamma
+        name_map = rescale_gamma(name_map, args.gamma)
 
     ckpt = load_checkpoint(args.checkpoint, args.epoch)
     params = merge_params(ckpt["trainable"], ckpt.get("state") or {})
@@ -99,13 +108,14 @@ def main():
                                  case=cfg.case)
     os.makedirs(args.out, exist_ok=True)
 
+    std_same = {}  # layer -> same-composite standard AUPC per instance
     for alg in args.algorithms:
         for k in args.num_concepts:
             sep_rows, peak_rows = [], []
             for li, layer_idx in enumerate(args.layers):
                 if alg == "random":
                     RU = cf_random_subspace(specs, params, batch,
-                                            cfg.lrp_name_map, layer_idx,
+                                            name_map, layer_idx,
                                             dim=dim_by_layer[layer_idx],
                                             num_concepts=k, case=cfg.case,
                                             attr_batch_size=args.attr_batch)
@@ -116,13 +126,38 @@ def main():
                                      f"layer{layer_idx}"))
                         for cls in mapper}
                     aupc, _, _, RU = concept_flipping(
-                        specs, params, batch, cfg.lrp_name_map, layer_idx,
+                        specs, params, batch, name_map, layer_idx,
                         Us, num_concepts=k, case=cfg.case,
                         perturbation_size=cfg.eval.perturbation_size,
                         forward_batch=args.forward_batch,
                         attr_batch_size=args.attr_batch)
                     np.save(os.path.join(
                         args.out, f"{alg}_aupcs_k{k}_layer{layer_idx}.npy"), aupc)
+                    if layer_idx not in std_same:
+                        # SAME-composite standard baseline: the K subspace
+                        # heatmaps sum exactly to the standard heatmap of
+                        # cfg.lrp_name_map (LRP linearity, K-independent), so
+                        # flipping the sum IS standard flipping under the
+                        # composite the DRSA pipeline uses — the comparison
+                        # the reference makes (cpf.py main: one name_map for
+                        # both sides). Round-3 diagnosis (diagnose_cf.py)
+                        # showed the earlier scaled-gamma-0.4 baseline was a
+                        # DIFFERENT, stronger composite, which inverted the
+                        # DRSA-vs-standard verdict.
+                        from drsa_audio_tpu.models.vgg import forward as _fwd
+                        from drsa_audio_tpu.xai.eval.flipping import Flipper
+                        import jax as _jax
+                        fwd = _jax.jit(lambda t: _fwd(specs, params, t))
+                        flp = Flipper(cfg.eval.perturbation_size,
+                                      forward_batch=args.forward_batch)
+                        R_sum = jnp.asarray(RU).sum(axis=1)[:, None, None]
+                        a_std, _, _ = flp(fwd, jnp.asarray(batch), R_sum)
+                        std_same[layer_idx] = np.asarray(a_std)
+                        np.save(os.path.join(
+                            args.out, f"standard_same_layer{layer_idx}.npy"),
+                            std_same[layer_idx])
+                        print(f"standard (same composite) layer={layer_idx}: "
+                              f"AUPC {std_same[layer_idx].mean():.4f}")
                 s, se = separability(RU)
                 p, pe = peakness(RU)
                 sep_rows.append((s, se))
@@ -141,7 +176,7 @@ def main():
             os.path.join(args.subspaces, f"{k0}_concepts", cls, f"layer{li}"))
             for cls in mapper}}
         mats = interclass_concept_flipping(
-            specs, params, batch, cfg.lrp_name_map, Us_by_layer,
+            specs, params, batch, name_map, Us_by_layer,
             layer_idcs=(li,), num_concepts=k0, case=cfg.case,
             perturbation_size=cfg.eval.perturbation_size,
             forward_batch=args.forward_batch,
@@ -180,8 +215,10 @@ def main():
 
     # paired bootstrap CI of (DRSA - standard) AUPC per layer: same balanced
     # batch, same instances, so pairing removes between-clip variance
-    # (round-2 VERDICT weak #4 / next-round #5)
-    if std_scores is not None and "drsa" in args.algorithms:
+    # (round-2 VERDICT weak #4 / next-round #5). Primary comparison is the
+    # SAME-composite standard (what the thesis claims); the scaled-gamma-0.4
+    # sweep is reported separately as a strongest-standard-composite line.
+    if "drsa" in args.algorithms:
         from drsa_audio_tpu.xai.eval.stats import paired_diff_ci
         cis = {}
         for k in args.num_concepts:
@@ -189,13 +226,26 @@ def main():
                 p = os.path.join(args.out, f"drsa_aupcs_k{k}_layer{layer_idx}.npy")
                 if not os.path.exists(p):
                     continue
-                d, lo, hi = paired_diff_ci(np.load(p), std_scores)
-                verdict = ("DRSA better" if hi < 0 else
-                           "standard better" if lo > 0 else "not significant")
-                cis[f"k{k}_layer{layer_idx}"] = {
-                    "mean_diff": d, "ci95": [lo, hi], "verdict": verdict}
-                print(f"DRSA-vs-standard K={k} layer={layer_idx}: "
-                      f"diff {d:+.4f} [95% CI {lo:+.4f}, {hi:+.4f}] {verdict}")
+                entry = {}
+                if layer_idx in std_same:
+                    d, lo, hi = paired_diff_ci(np.load(p), std_same[layer_idx])
+                    verdict = ("DRSA better" if hi < 0 else
+                               "standard better" if lo > 0 else "not significant")
+                    entry["same_composite"] = {
+                        "mean_diff": d, "ci95": [lo, hi], "verdict": verdict}
+                    print(f"DRSA-vs-standard(same composite) K={k} "
+                          f"layer={layer_idx}: diff {d:+.4f} "
+                          f"[95% CI {lo:+.4f}, {hi:+.4f}] {verdict}")
+                if std_scores is not None:
+                    d, lo, hi = paired_diff_ci(np.load(p), std_scores)
+                    verdict = ("DRSA better" if hi < 0 else
+                               "standard better" if lo > 0 else "not significant")
+                    entry["scaled_gamma_04"] = {
+                        "mean_diff": d, "ci95": [lo, hi], "verdict": verdict}
+                    print(f"DRSA-vs-standard(scaled-gamma 0.4) K={k} "
+                          f"layer={layer_idx}: diff {d:+.4f} "
+                          f"[95% CI {lo:+.4f}, {hi:+.4f}] {verdict}")
+                cis[f"k{k}_layer{layer_idx}"] = entry
         with open(os.path.join(args.out, "drsa_vs_standard_ci.json"), "w") as f:
             json.dump(cis, f, indent=1)
 
