@@ -33,10 +33,18 @@ def load_xplane(logdir: str):
                              recursive=True), key=os.path.getmtime)
     if not paths:
         raise FileNotFoundError(f"no .xplane.pb under {logdir}")
-    try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except ImportError:
-        from tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    xplane_pb2 = None
+    for mod in ("tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "tsl.profiler.protobuf.xplane_pb2",
+                "tensorflow.tsl.profiler.protobuf.xplane_pb2"):
+        try:
+            import importlib
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise ImportError("no xplane_pb2 proto module available")
     space = xplane_pb2.XSpace()
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
@@ -108,12 +116,16 @@ def main():
     @jax.jit
     def stage_upper(mels):
         R_f, acts, _ = explain_forward_upper(specs_proj, params, mels,
-                                             composite, class_idx=0)
+                                             composite, class_idx=0,
+                                             nhwc=True)
         return R_f, acts
 
     @jax.jit
     def stage_lower(acts, R_f):
-        return explain_lower(specs_proj, params, acts, R_f, composite, K)
+        # nhwc=True matches the production subspace_heatmaps default and
+        # routes the conv section through the fused Pallas chain
+        return explain_lower(specs_proj, params, acts, R_f, composite, K,
+                             nhwc=True)
 
     rng = np.random.default_rng(0)
     wavs = jnp.asarray(rng.standard_normal(

@@ -70,3 +70,26 @@ def test_interclass_return_samples_shape(rng):
         specs, params, batch, LRP_NAME_MAP_TOY, Us, layer_idcs=(10,),
         num_concepts=2, case="toy")
     np.testing.assert_allclose(mats[0].mean(axis=-1), means[0], rtol=1e-6)
+
+
+def test_rescale_gamma_preserves_decay_pattern():
+    """rescale_gamma retargets the base gamma, keeps the per-depth decay
+    ratios, and leaves non-gamma rules untouched (composite-sensitivity
+    legs of the flipping eval, runs/gtzan_synth_v2/RESULTS.md)."""
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN_6S, rescale_gamma)
+
+    out = rescale_gamma(LRP_NAME_MAP_GTZAN_6S, 0.4)
+    gammas_in = {n: kw["gamma"] for n, (r, kw) in LRP_NAME_MAP_GTZAN_6S
+                 if r == "gamma"}
+    gammas_out = {n: kw["gamma"] for n, (r, kw) in out if r == "gamma"}
+    assert max(gammas_out.values()) == 0.4
+    for n in gammas_in:
+        np.testing.assert_allclose(gammas_out[n] / gammas_in[n], 0.4 / 0.3,
+                                   rtol=1e-12)
+    # non-gamma entries byte-identical
+    assert [(n, r) for n, (r, _) in out if r != "gamma"] == \
+           [(n, r) for n, (r, _) in LRP_NAME_MAP_GTZAN_6S if r != "gamma"]
+    # stabilizers untouched
+    for (n1, (r1, k1)), (n2, (r2, k2)) in zip(LRP_NAME_MAP_GTZAN_6S, out):
+        assert k1.get("stabilizer") == k2.get("stabilizer")
