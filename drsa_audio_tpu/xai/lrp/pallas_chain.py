@@ -358,16 +358,22 @@ def _gamma_only_kernel(R_ref, x_ref, wz1_ref, wz3_ref, wT1_ref,
                              leading_gate)
 
 
-def _first_layer_kernel(R_ref, F_ref, wl0_ref, mred_ref, out_ref,
-                        *, Ci, K):
+def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
+                        *, Ci, K, stab0):
     """Pool backward + relu gate + first-layer rule (wsquare/flat).
 
-    F (computed in XLA at batch b) folds the pool route mask, the relu gate
-    and the input-independent first-layer denominator into ONE fine-level
-    multiplier: s0 = route(R) * F; the transposed conv to the single input
-    channel runs as lane-pattern VPU accumulation + one block-diagonal
-    reduction matmul. Clones loop so only one fine map is live at a time."""
-    F = F_ref[0]
+    The fine-level multiplier F — pool route mask * relu gate /
+    stabilized input-independent first-layer denominator — is computed
+    IN-KERNEL from the packed first-conv output a1 (round-3 profile: the
+    old XLA-at-batch-b F block cost ~15 ms/iter in reduce_window_max +
+    select fusions + the 537 MB F round-trip; per-instance VMEM recompute
+    replaces all of it). s0 = route(R) * F; the transposed conv to the
+    single input channel runs as lane-pattern VPU accumulation + one
+    block-diagonal reduction matmul. Clones loop so only one fine map is
+    live at a time."""
+    a1 = a1_ref[0]
+    mask = maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
+    F = mask * relu_gate(a1) / stabilize(z0_ref[:], stab0)
     for k in range(K):
         s0 = pool2x2_backward(R_ref[0, k], F, Ci)
         acc = conv3x3_packed_vpu(s0, wl0_ref[:], Ci)
@@ -485,30 +491,15 @@ def _prep_first_weights(params, spec, rule, fine_hw):
     ones = jnp.ones((1, Cin, H, W), jnp.float32)
     z0_nchw = conv2d_same(ones, wm, bm)                     # [1, Co, H, W]
     z0 = jnp.transpose(z0_nchw, (0, 2, 3, 1))               # [1, H, W, Co]
+    z0p = pack(z0[0], 128 // Co)                            # [H, G, 128]
     # transposed taps: wT[dy, dx, co] = wm[co, 0, 2-dy, 2-dx]; Cin == 1 for
     # both supported model families (mel input)
     assert Cin == 1, "first conv with Cin > 1 unsupported in fused chain"
     wl = jnp.stack([jnp.stack([jnp.tile(wm[:, 0, 2 - dy, 2 - dx], P)
                                for dx in range(3)]) for dy in range(3)])
     mred = blockdiag(jnp.ones((Co, 1), jnp.float32), P)     # [128, P]
-    return {"z0": z0, "wl0": wl, "mred": mred, "stab0": stab0, "P0": P,
-            "Co0": Co}
-
-
-def _route_mask_nhwc(a: jnp.ndarray) -> jnp.ndarray:
-    """XLA first-argmax (2,2)-pool route mask, NHWC (see
-    explain.maxpool_route_mask for the NCHW twin + semantics)."""
-    dims, strides = (1, 2, 2, 1), (1, 2, 2, 1)
-    m = jax.lax.reduce_window(a, -jnp.inf, jax.lax.max, dims, strides, "VALID")
-    up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
-    eq = a == up(m)
-    h_idx = jnp.arange(a.shape[1]) % 2
-    w_idx = jnp.arange(a.shape[2]) % 2
-    pos = (h_idx[:, None] * 2 + w_idx[None, :]).astype(jnp.float32)
-    cand = jnp.where(eq, pos[None, :, :, None], 4.0)
-    winner = -jax.lax.reduce_window(-cand, -jnp.inf, jax.lax.max, dims,
-                                    strides, "VALID")
-    return (eq & (cand == up(winner))).astype(a.dtype)
+    return {"z0p": z0p, "wl0": wl, "mred": mred, "stab0": stab0,
+            "P0": P, "Co0": Co}
 
 
 def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
@@ -595,21 +586,21 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
                 interpret=_interpret(),
             )(R, x, *weight_args)
 
-    # first layer: F (route mask * relu gate / stabilized z0) in XLA at
-    # batch b, then the slim pool+convT kernel
+    # first layer: F (route mask * relu gate / stabilized z0) computed
+    # IN-KERNEL from the packed first-conv output (see _first_layer_kernel)
     C1 = weights[0]["Ci"]
-    F = (_route_mask_nhwc(jnp.maximum(a1, 0.0)) * relu_gate(a1)
-         / stabilize(fw["z0"], fw["stab0"]))
-    Fp = pack(F, 128 // C1)
-    HF, GF = Fp.shape[1], Fp.shape[2]
+    a1p = pack(a1, 128 // C1)                    # [b, HF, GF, 128]
+    HF, GF = a1p.shape[1], a1p.shape[2]
     P0 = fw["P0"]
-    kern = functools.partial(_first_layer_kernel, Ci=C1, K=K)
+    kern = functools.partial(_first_layer_kernel, Ci=C1, K=K,
+                             stab0=fw["stab0"])
     out = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
             pl.BlockSpec((1, HF, GF, 128), lambda n: (n, 0, 0, 0)),
+            pl.BlockSpec(fw["z0p"].shape, lambda n: (0, 0, 0)),
             pl.BlockSpec(fw["wl0"].shape, lambda n: (0, 0, 0)),
             pl.BlockSpec(fw["mred"].shape, lambda n: (0, 0)),
         ],
@@ -617,5 +608,5 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
         out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(R, Fp, fw["wl0"], fw["mred"])
+    )(R, a1p, fw["z0p"], fw["wl0"], fw["mred"])
     return out.reshape(b, K, HF, GF * P0)
