@@ -13,6 +13,8 @@ layer'); this is the deployment surface its notebooks approximate.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 from typing import Iterable, Iterator, Sequence
 
 import jax
@@ -31,6 +33,35 @@ class ExplainRequest:
     """One batch of fixed-length waveforms to explain for one class."""
     wavs: np.ndarray          # [b, samples]
     class_idx: int
+
+
+def _prefetched(gen: Iterable, depth: int = 2) -> Iterator:
+    """Run a generator on a background thread with ``depth`` items of
+    lookahead (bounded queue), so host-side work inside the generator —
+    decode, resample, stacking — overlaps whatever the consumer does with
+    each item (here: TPU compute on the previous batch). Exceptions from the
+    generator re-raise at the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    errs: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:     # re-raised below, thread must not die silently
+            errs.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errs:
+                raise errs[0]
+            return
+        yield item
 
 
 class ExplainerService:
@@ -61,7 +92,6 @@ class ExplainerService:
         composite = class_composite(name_map, num_concepts)
         config = self.config
 
-        @jax.jit
         def run(wavs, U, class_onehot):
             x = peak_normalize(wavs)
             mels = logmel(x, config)[:, None]
@@ -75,7 +105,11 @@ class ExplainerService:
                 output_mask=lambda lg: lg * class_onehot[None, :])
             return heat, logits
 
-        self._run = run
+        # the request waveforms are single-use: donate so the 67 MB input
+        # buffer frees as soon as the frontend consumes it (donation is a
+        # no-op warning on the CPU test backend, so gate on TPU)
+        donate = (0,) if jax.default_backend() in ("tpu", "axon") else ()
+        self._run = jax.jit(run, donate_argnums=donate)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._wav_sharding = NamedSharding(mesh, P("data", None))
@@ -136,8 +170,15 @@ class ExplainerService:
 
     def explain_files(self, paths: Sequence[str], class_name: str,
                       batch_size: int = 32, window_s: float | None = None,
-                      on_short: str = "pad"):
+                      on_short: str = "pad", decode_threads: int = 4,
+                      prefetch_depth: int = 2):
         """Decode (native prefetch) -> slice -> explain, streaming.
+
+        The host feed is double-buffered: files within a batch decode on a
+        ``decode_threads``-wide pool (the native C++ decoder releases the GIL)
+        and ``prefetch_depth`` whole batches are prepared ahead on a
+        background thread, so decode/resample overlaps the TPU computing the
+        previous batch instead of serializing with it.
 
         Inputs are validated rather than trusted: files at a different sample
         rate are polyphase-resampled to the service rate on the host, and
@@ -170,16 +211,33 @@ class ExplainerService:
             return w[:window]
 
         def requests():
-            batch = []
-            for p in paths:
-                w = prepare(p)
-                if w is None:
-                    continue
-                batch.append(w)
-                if len(batch) == batch_size:
-                    yield ExplainRequest(np.stack(batch), self.mapper[class_name])
-                    batch = []
-            if batch:
-                yield ExplainRequest(np.stack(batch), self.mapper[class_name])
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+            # bounded in-flight window: enough to keep the pool busy without
+            # buffering a whole dataset of decoded waveforms in RAM
+            window = max(2 * batch_size, 2 * decode_threads)
+            with ThreadPoolExecutor(decode_threads) as ex:
+                pending = collections.deque()
+                it = iter(paths)
+                for p in it:
+                    pending.append(ex.submit(prepare, p))
+                    if len(pending) >= window:
+                        break
+                batch = []
+                while pending:
+                    w = pending.popleft().result()   # order preserved
+                    p_next = next(it, None)
+                    if p_next is not None:
+                        pending.append(ex.submit(prepare, p_next))
+                    if w is None:
+                        continue
+                    batch.append(w)
+                    if len(batch) == batch_size:
+                        yield ExplainRequest(np.stack(batch),
+                                             self.mapper[class_name])
+                        batch = []
+                if batch:
+                    yield ExplainRequest(np.stack(batch),
+                                         self.mapper[class_name])
 
-        yield from self.explain_stream(requests())
+        yield from self.explain_stream(_prefetched(requests(), prefetch_depth))

@@ -1,0 +1,190 @@
+"""Microbench variants of the fused first-layer LRP kernel on the real chip.
+
+The round-3 profile put `_first_layer_kernel` (pool backward + relu gate +
+wsquare first-conv rule, xai/lrp/pallas_chain.py) at ~21 ms/iter = 53% of the
+fused lower backward. A byte-count of the kernel body says it is
+VPU-bandwidth-bound: per clone the transposed conv does 9 full 128-lane
+multiply-accumulate passes over the fine map whose results are then reduced
+to P0=4 lanes anyway. Variants tested here fold the per-tap channel weights
+into the reduction matmul (one [128, P0] block-diagonal matrix per tap), so
+the conv becomes 9 MXU reads with tiny outputs and zero full-map writes.
+
+Usage: python scripts/bench_first_layer.py [--batch 256] [--iters 16]
+Prints a JSON line per variant: ms/iter + max abs diff vs production.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from drsa_audio_tpu.xai.lrp import pallas_chain as pc
+
+K = 4
+C1 = 32          # first-block channel count (gtzan-3s)
+HF, WF = 128, 128
+
+
+def _first_layer_kernel_mmtaps(R_ref, a1_ref, z0_ref, mtaps_ref, out_ref,
+                               *, Ci, K, stab0):
+    """Variant: per-tap block-diagonal reduce matrices (fold w into _mm)."""
+    a1 = a1_ref[0]
+    mask = pc.maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
+    F = mask * pc.relu_gate(a1) / pc.stabilize(z0_ref[:], stab0)
+    H = a1.shape[-3]
+    ndim = a1.ndim
+    pad_cfg = [(0, 0, 0)] * (ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
+    for k in range(K):
+        s0 = pc.pool2x2_backward(R_ref[0, k], F, Ci)
+        S = (pc.col_shift(s0, -1, Ci), s0, pc.col_shift(s0, 1, Ci))
+        acc = None
+        for dx in range(3):
+            sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
+            for dy in range(3):
+                sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=ndim - 3)
+                d = pc._mm(sl, mtaps_ref[dy, dx])
+                acc = d if acc is None else acc + d
+        out_ref[0, k] = acc
+
+
+def _first_layer_kernel_mmtaps_kvec(R_ref, a1_ref, z0_ref, mtaps_ref, out_ref,
+                                    *, Ci, K, stab0):
+    """mmtaps + the K clone loop vectorized (all clones live in VMEM)."""
+    a1 = a1_ref[0]
+    mask = pc.maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
+    F = mask * pc.relu_gate(a1) / pc.stabilize(z0_ref[:], stab0)
+    s0 = pc.pool2x2_backward(R_ref[0], F, Ci)          # [K, H, G, 128]
+    H = s0.shape[-3]
+    ndim = s0.ndim
+    pad_cfg = [(0, 0, 0)] * (ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
+    S = (pc.col_shift(s0, -1, Ci), s0, pc.col_shift(s0, 1, Ci))
+    acc = None
+    for dx in range(3):
+        sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
+        for dy in range(3):
+            sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=ndim - 3)
+            d = pc._mm(sl, mtaps_ref[dy, dx])
+            acc = d if acc is None else acc + d
+    out_ref[0] = acc
+
+
+def pack_first_mtaps(wm: jnp.ndarray, P: int) -> jnp.ndarray:
+    """[Co, 1, 3, 3] rule weights -> [3, 3, P*Co, P] per-tap reduce mats.
+
+    mtaps[dy, dx] = blockdiag over P of the column vector
+    wm[:, 0, 2-dy, 2-dx] (transposed-conv tap), so
+    s0 @ mtaps[dy, dx] == sum_c s0[(p, c)] * wT[dy, dx, c] per block p.
+    """
+    taps = [[pc.blockdiag(wm[:, 0, 2 - dy, 2 - dx][:, None], P)
+             for dx in range(3)] for dy in range(3)]
+    return jnp.stack([jnp.stack(r) for r in taps])
+
+
+def run_prod(R, a1p, z0p, wl0, mred, b, Hc_shape):
+    kern = functools.partial(pc._first_layer_kernel, Ci=C1, K=K, stab0=1e-6)
+    P0 = mred.shape[1]
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
+            pl.BlockSpec((1,) + a1p.shape[1:], lambda n: (n, 0, 0, 0)),
+            pl.BlockSpec(z0p.shape, lambda n: (0, 0, 0)),
+            pl.BlockSpec(wl0.shape, lambda n: (0, 0, 0)),
+            pl.BlockSpec(mred.shape, lambda n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, HF, WF // 4, P0),
+                               lambda n: (n, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, K, HF, WF // 4, P0), jnp.float32),
+        compiler_params=pc._params(),
+        interpret=pc._interpret(),
+    )(R, a1p, z0p, wl0, mred)
+
+
+def run_variant(kern_fn, R, a1p, z0p, mtaps, b):
+    kern = functools.partial(kern_fn, Ci=C1, K=K, stab0=1e-6)
+    P0 = mtaps.shape[-1]
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
+            pl.BlockSpec((1,) + a1p.shape[1:], lambda n: (n, 0, 0, 0)),
+            pl.BlockSpec(z0p.shape, lambda n: (0, 0, 0)),
+            pl.BlockSpec(mtaps.shape, lambda n: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, HF, WF // 4, P0),
+                               lambda n: (n, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, K, HF, WF // 4, P0), jnp.float32),
+        compiler_params=pc._params(),
+        interpret=pc._interpret(),
+    )(R, a1p, z0p, mtaps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=16)
+    args = ap.parse_args()
+    b = args.batch
+
+    rng = np.random.default_rng(0)
+    P = 128 // C1
+    # realistic inputs: a1 has post-conv stats (mixed sign), R nonneg-ish
+    a1 = jnp.asarray(rng.standard_normal((b, HF, WF, C1)).astype(np.float32))
+    a1p = pc.pack(a1, P)
+    R = jnp.asarray(np.abs(rng.standard_normal(
+        (b, K, HF // 2, WF // 2 // P, 128))).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((C1, 1, 3, 3)).astype(np.float32))
+    wm = w * w                                           # wsquare rule
+    ones = jnp.ones((HF, WF), jnp.float32)
+    # z0 map for wsquare: conv of ones with wm (input-independent denominator)
+    import jax.scipy.signal  # noqa: F401
+    z0 = jax.lax.conv_general_dilated(
+        jnp.ones((1, 1, HF, WF), jnp.float32), jnp.transpose(wm, (0, 1, 2, 3)),
+        (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    z0p = pc.pack(jnp.transpose(z0, (0, 2, 3, 1))[0], P)
+    wl0 = jnp.stack([jnp.stack([jnp.tile(wm[:, 0, 2 - dy, 2 - dx], P)
+                                for dx in range(3)]) for dy in range(3)])
+    mred = pc.blockdiag(jnp.ones((C1, 1), jnp.float32), P)
+    mtaps = pack_first_mtaps(wm, P)
+
+    runs = {
+        "prod": lambda: run_prod(R, a1p, z0p, wl0, mred, b, None),
+        "mmtaps": lambda: run_variant(_first_layer_kernel_mmtaps,
+                                      R, a1p, z0p, mtaps, b),
+        "mmtaps_kvec": lambda: run_variant(_first_layer_kernel_mmtaps_kvec,
+                                           R, a1p, z0p, mtaps, b),
+    }
+    ref = None
+    for name, fn in runs.items():
+        jf = jax.jit(fn)
+        out = jf()                                        # compile + warm
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = jf()
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        o = np.asarray(out)
+        if ref is None:
+            ref = o
+            diff = 0.0
+        else:
+            diff = float(np.max(np.abs(o - ref)))
+        print(json.dumps({"variant": name, "ms_per_iter": round(ms, 3),
+                          "max_abs_diff_vs_prod": diff,
+                          "out_absmax": float(np.max(np.abs(o)))}))
+
+
+if __name__ == "__main__":
+    main()

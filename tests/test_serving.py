@@ -100,6 +100,42 @@ def test_explain_files_validates_inputs(service, tmp_path, rng):
         list(svc.explain_files([p_short], "class1", on_short="bogus"))
 
 
+def test_explain_files_prefetched_order(service, tmp_path, rng):
+    """The double-buffered host feed (decode pool + background batch
+    prefetch) must preserve file -> heatmap-row order exactly."""
+    from drsa_audio_tpu.runtime.wavio import write_wav
+    svc, *_ = service
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"ord{i}.wav")
+        write_wav(p, np.clip(rng.standard_normal((1, 16000)) * 0.3, -1, 1)
+                  .astype(np.float32), 16000)
+        paths.append(p)
+    fast = list(svc.explain_files(paths, "class1", batch_size=2,
+                                  window_s=1.0, decode_threads=3,
+                                  prefetch_depth=2))
+    slow = list(svc.explain_files(paths, "class1", batch_size=2,
+                                  window_s=1.0, decode_threads=1,
+                                  prefetch_depth=1))
+    assert len(fast) == len(slow) == 3
+    for f, s in zip(fast, slow):
+        np.testing.assert_array_equal(f["subspace_heatmaps"],
+                                      s["subspace_heatmaps"])
+
+
+def test_prefetched_propagates_errors():
+    from drsa_audio_tpu.serving import _prefetched
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = _prefetched(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
 def test_single_program_serves_all_classes(service, rng):
     """U/class one-hot are traced args: switching class must NOT recompile
     (round-1 VERDICT weak #4)."""
