@@ -42,6 +42,36 @@ def extract_act_rel_maps(
     return captured[layer_name]
 
 
+def make_extract_fn(specs, params, composite, layer_idx: int,
+                    one_hot_encoded: bool = False):
+    """ONE compiled LRP-capture program per layer serving EVERY class.
+
+    The class index is a traced scalar (the output mask is built from it
+    inside the program), so a 10-class x 3-layer extraction sweep compiles 3
+    programs instead of 30 — and runs jitted instead of dispatching the LRP
+    walk op-by-op (``extract_act_rel_maps`` is pure tracing code; called
+    eagerly it issues hundreds of individual device programs per minibatch,
+    which dominated the flagship extraction stage's wall clock).
+
+    Returns ``fn(x, class_idx) -> (act_maps, rel_maps)``; pass it to
+    ``preprocess_data(extract_fn=...)``.
+    """
+    layer_name = f"features.{layer_idx}"
+
+    @jax.jit
+    def fn(x, class_idx):
+        def out_fn(logits):
+            mask = (jnp.arange(logits.shape[-1]) == class_idx).astype(
+                logits.dtype)
+            mask = jnp.broadcast_to(mask, logits.shape)
+            return mask if one_hot_encoded else logits * mask
+        _, _, captured = lrp(specs, params, x, composite, out_fn,
+                             capture=(layer_name,))
+        return captured[layer_name]
+
+    return fn
+
+
 def compute_context_vectors(activation_vectors, relevance_vectors, eps: float = 1e-7):
     """c = R / (a + eps) (reference preprocessing.py:179-193)."""
     return relevance_vectors / (activation_vectors + eps)
@@ -105,6 +135,7 @@ def preprocess_data(
     key: jax.Array | None = None,
     attr_batch_size: int | None = 64,
     clip_keys: jax.Array | None = None,
+    extract_fn=None,
 ):
     """Build (activation_vectors, context_vectors) for DRSA optimization
     (reference preprocess_data, preprocessing.py:18-89).
@@ -116,22 +147,28 @@ def preprocess_data(
     minibatches (reference preprocessing.py:126-152 does the same at 64) —
     the captured maps at the DRSA layers are small, so only the attribution
     pass is chunked.
+
+    ``extract_fn`` (from ``make_extract_fn``) supplies a pre-compiled
+    class-traced extraction program; without it the LRP walk dispatches
+    eagerly (fine under an outer jit such as the sharded extraction path,
+    slow as a host-level loop).
     """
     input_batch = jnp.asarray(input_batch)
     b = input_batch.shape[0]
+
+    def _extract(xc):
+        if extract_fn is not None:
+            return extract_fn(xc, jnp.int32(class_idx))
+        return extract_act_rel_maps(specs, params, xc, composite,
+                                    layer_idx, class_idx, one_hot_encoded)
+
     if attr_batch_size and b > attr_batch_size:
-        parts = [
-            extract_act_rel_maps(
-                specs, params, input_batch[i:i + attr_batch_size], composite,
-                layer_idx, class_idx, one_hot_encoded)
-            for i in range(0, b, attr_batch_size)
-        ]
+        parts = [_extract(input_batch[i:i + attr_batch_size])
+                 for i in range(0, b, attr_batch_size)]
         act_maps = jnp.concatenate([p[0] for p in parts])
         rel_maps = jnp.concatenate([p[1] for p in parts])
     else:
-        act_maps, rel_maps = extract_act_rel_maps(
-            specs, params, input_batch, composite, layer_idx, class_idx,
-            one_hot_encoded)
+        act_maps, rel_maps = _extract(input_batch)
     if num_locations:
         if key is None:
             key = jax.random.PRNGKey(0)

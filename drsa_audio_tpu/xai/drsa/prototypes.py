@@ -55,6 +55,7 @@ def get_prototypes(
     seed: int = 42,
     songs=None,
     startpoints=None,
+    extract_fn=None,
 ) -> PrototypeResult:
     """Evaluate disjoint subsets of ``n`` instances and return the act/ctx
     vectors — plus the song names and slice startpoints, when provided — of
@@ -66,9 +67,11 @@ def get_prototypes(
     data_batch = data_batch[:N]
 
     # inference-mode extraction: all spatial positions per instance
+    # (extract_fn: pre-compiled class-traced program, preprocessing.
+    # make_extract_fn — share one across the per-class prototype sweep)
     act_vecs, ctx_vecs = preprocess_data(
         specs, params, data_batch, composite, layer_idx, class_idx,
-        num_locations=None)
+        num_locations=None, extract_fn=extract_fn)
     # [N, L, d]
     objs = subset_objectives(act_vecs, ctx_vecs, jnp.asarray(U), num_concepts, n)
     best = int(np.argmax(np.asarray(objs)))

@@ -68,6 +68,11 @@ def main():
 
     mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
     key = jax.random.PRNGKey(cfg.drsa.seed)
+    # one compiled class-traced extraction program per layer (3 compiles for
+    # the 10-class x 3-layer flagship sweep instead of 30 eager LRP walks)
+    from drsa_audio_tpu.xai.drsa.preprocessing import make_extract_fn
+    extract_fns = {li: make_extract_fn(specs, params, composite, li)
+                   for li in layers}
     for cls, class_idx in mapper.items():
         if cfg.case != "toy":
             n_songs = (-(-args.num_clips // cfg.drsa.chunks_per_song)
@@ -82,7 +87,8 @@ def main():
             key, sub = jax.random.split(key)
             act, ctx = preprocess_data(
                 specs, params, jnp.asarray(batch), composite, layer_idx,
-                class_idx, num_locations=args.num_locations, key=sub)
+                class_idx, num_locations=args.num_locations, key=sub,
+                extract_fn=extract_fns[layer_idx])
             out_dir = os.path.join(args.out, cls)
             os.makedirs(out_dir, exist_ok=True)
             np.savez(os.path.join(out_dir, f"dataset_layer{layer_idx}.npz"),

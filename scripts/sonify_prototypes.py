@@ -87,10 +87,12 @@ def main():
     )
     mapper = CLASS_IDX_MAPPER_TOY if cfg.case == "toy" else CLASS_IDX_MAPPER
 
+    from drsa_audio_tpu.xai.drsa.preprocessing import make_extract_fn
     res = get_prototypes(
         specs, params, args.layer, jnp.asarray(U, jnp.float32), composite,
         batch, num_concepts=args.num_concepts, n=args.subset_size,
-        class_idx=mapper[args.sample_class], songs=songs, startpoints=starts)
+        class_idx=mapper[args.sample_class], songs=songs, startpoints=starts,
+        extract_fn=make_extract_fn(specs, params, composite, args.layer))
 
     os.makedirs(args.out, exist_ok=True)
     manifest = {

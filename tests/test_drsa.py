@@ -199,3 +199,43 @@ def test_masked_objective_equals_trimmed(rng):
     full = objective_fn(jnp.asarray(rel[:18]))
     masked = objective_fn(jnp.asarray(rel), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(masked), np.asarray(full), rtol=1e-6)
+
+
+def test_make_extract_fn_matches_eager(rng):
+    """The class-traced jitted extractor (make_extract_fn) must agree with
+    the eager extract_act_rel_maps walk for every class, and preprocess_data
+    must produce identical vectors through either path."""
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config
+    from drsa_audio_tpu.xai.lrp.engine import Composite
+    from drsa_audio_tpu.xai.drsa.preprocessing import (
+        extract_act_rel_maps, make_extract_fn, preprocess_data,
+    )
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+
+    specs = build_layer_specs(toy_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    x = jnp.asarray(rng.standard_normal((4, 1, 64, 64)).astype(np.float32))
+    layer_idx = 10
+    fn = make_extract_fn(specs, params, composite, layer_idx)
+    for class_idx in (0, 1):
+        act_e, rel_e = extract_act_rel_maps(specs, params, x, composite,
+                                            layer_idx, class_idx)
+        act_j, rel_j = fn(x, jnp.int32(class_idx))
+        np.testing.assert_allclose(np.asarray(act_j), np.asarray(act_e),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(rel_j), np.asarray(rel_e),
+                                   rtol=1e-5, atol=1e-7)
+    # one compiled program serves both classes
+    assert fn._cache_size() == 1
+
+    key = jax.random.PRNGKey(3)
+    a1, c1 = preprocess_data(specs, params, x, composite, layer_idx, 1,
+                             num_locations=5, key=key, attr_batch_size=2)
+    a2, c2 = preprocess_data(specs, params, x, composite, layer_idx, 1,
+                             num_locations=5, key=key, attr_batch_size=2,
+                             extract_fn=fn)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-5, atol=1e-6)
