@@ -248,8 +248,13 @@ def explain_lower(
     # clone's math is independent in the tiled path, so chunking matches the
     # one-shot tiled backward up to conv-accumulation reassociation at the
     # smaller batch (tested at rtol 2e-5).
+    # the fused chain supersedes clone_chunk when its plan exists: it bounds
+    # memory tighter than chunked tiling (per-instance VMEM walks; HBM holds
+    # only the batch-b activations), so callers that chunk for the 6 s
+    # model's sake (harness.py) get the fused path automatically now that
+    # the chain supports that family's topology
     if fused is None:
-        fused = (nhwc and clone_chunk is None and not shared_denominators)
+        fused = nhwc and not shared_denominators
     if fused:
         from drsa_audio_tpu.xai.lrp.pallas_chain import (
             plan_chain, fused_lower_conv_backward)

@@ -27,10 +27,13 @@ just hand their P_in-packed-over-Co output to a reshape.
 
 Convs are 9 shifted lane-blocked matmuls: column shifts are lane rolls with
 group-boundary fixup, weights are P-block-diagonal [P*Ci, P*Co] matrices
-(prepared on the host). Supported chain topology: repeated
-[conv -> relu -> maxpool(2,2)] blocks as in the GTZAN-3s / toy lower segments
-(reference cxai model families, cpf.py:410-412 + cpf.py:260); anything else
-falls back to the XLA path in xai.explain.
+(prepared on the host). Supported chain topology (see plan_chain): blocks of
+[conv(gamma) -> relu]+ separated by maxpool(2,2) / maxpool(2,4), over a
+wsquare/flat first conv — covering the GTZAN-3s and toy families
+(single-conv blocks, (2,2) pools; reference cpf.py:410-412 + cpf.py:260)
+AND the flagship GTZAN-6s family (block_depth=2, (2,4) block-1 pool,
+C=100/128 levels at P=1 packing; reference getdrsadata.py:72-108). Anything
+else falls back to the XLA path in xai.explain.
 """
 
 from __future__ import annotations
@@ -184,6 +187,34 @@ def _row_partner(x):
     return sw.reshape(*lead, H, G, L)
 
 
+def _group_xor(x, kg: int):
+    """out[..., h, g, :] = x[..., h, g ^ kg, :] (kg a power of two): swap
+    adjacent kg-sized group blocks, pairwise."""
+    *lead, H, G, L = x.shape
+    y = x.reshape(*lead, H, G // (2 * kg), 2, kg, L)
+    ev = jax.lax.index_in_dim(y, 0, axis=y.ndim - 3, keepdims=False)
+    od = jax.lax.index_in_dim(y, 1, axis=y.ndim - 3, keepdims=False)
+    sw = jnp.stack([od, ev], axis=-3)
+    return sw.reshape(*lead, H, G, L)
+
+
+def _col_xor(x, k: int, C: int):
+    """out at packed col w = x at col w ^ k (k a power of two).
+
+    k < P: lane-level block swap; k >= P: group-level swap — so the same
+    butterfly works at any packing, incl. P == 1 (C == 100/128 levels) and
+    windows wider than a group (kw == 4 at P == 2)."""
+    L = x.shape[-1]
+    P = L // C
+    if k >= P:
+        return _group_xor(x, k // P)
+    lane = _lane_iota(x)
+    p = lane // C
+    up = _roll(x, k * C)       # content of block p-k at p
+    dn = _roll(x, -k * C)      # content of block p+k at p
+    return jnp.where((p // k) % 2 == 0, dn, up)
+
+
 def _col_partner(x, C: int):
     """out at packed col w = x at col w^1 (within-group for P >= 2)."""
     L = x.shape[-1]
@@ -200,22 +231,51 @@ def window_max2x2(a_fine, C: int):
     return jnp.maximum(m_col, _row_partner(m_col))
 
 
-def maxpool2x2_fine_mask(a_fine, C: int):
-    """First-argmax routing mask of a (2,2)/(2,2) MaxPool, at fine resolution.
+def _window_reduce(x, C: int, kw: int, op):
+    """Butterfly-reduce ``op`` over each (2, kw) window (kh == 2 rows via the
+    row partner; kw a power of two via col-xor steps). Every fine position
+    ends up holding the window reduction."""
+    m = x
+    k = 1
+    while k < kw:
+        m = op(m, _col_xor(m, k, C))
+        k *= 2
+    return op(m, _row_partner(m))
+
+
+def _col_in_window(x, C: int, kw: int):
+    """Per-position column offset within its kw-wide window, as f32."""
+    L = x.shape[-1]
+    P = L // C
+    lane = _lane_iota(x)
+    p = lane // C
+    if kw <= P:
+        return (p % kw).astype(jnp.float32)
+    g = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+    return ((g % (kw // P)) * P + p).astype(jnp.float32)
+
+
+def maxpool_fine_mask(a_fine, C: int, kw: int = 2):
+    """First-argmax routing mask of a (2,kw)/(2,kw) MaxPool, fine resolution.
 
     Matches jax's reduce_window(max) vjp exactly (full cotangent to the FIRST
     maximal element in row-major window order; verified incl. ties).
-    a_fine: [H, G, P*C] packed primal (the pool input)."""
-    m_fine = window_max2x2(a_fine, C)
-    lane = _lane_iota(a_fine)
-    p_par = (lane // C) % 2                       # column parity
+    a_fine: [H, G, P*C] packed primal (the pool input). Works at any packing
+    P >= 1 and kw in {2, 4} (butterfly col-xor reductions)."""
+    m_fine = _window_reduce(a_fine, C, kw, jnp.maximum)
     row = jax.lax.broadcasted_iota(jnp.int32, a_fine.shape, a_fine.ndim - 3)
-    pos = ((row % 2) * 2 + p_par).astype(jnp.float32)
+    pos = (row % 2).astype(jnp.float32) * np.float32(kw) + _col_in_window(
+        a_fine, C, kw)
     eq = a_fine == m_fine
-    cand = jnp.where(eq, pos, 4.0)
-    c_col = jnp.minimum(cand, _col_partner(cand, C))
-    c_all = jnp.minimum(c_col, _row_partner(c_col))
+    cand = jnp.where(eq, pos, np.float32(2 * kw))
+    c_all = _window_reduce(cand, C, kw, jnp.minimum)
     return (eq & (cand == c_all)).astype(a_fine.dtype)
+
+
+def maxpool2x2_fine_mask(a_fine, C: int):
+    """(2,2) specialization of maxpool_fine_mask (kept as the named entry
+    point the 3s/toy kernels were measured with)."""
+    return maxpool_fine_mask(a_fine, C, kw=2)
 
 
 def maxpool2x2_forward(a_fine, C: int):
@@ -258,6 +318,48 @@ def lane_stretch2(x, C: int):
         sel = functools.reduce(jnp.logical_or, [p == pf for pf in pfs])
         out = jnp.where(sel, src, out)
     return out
+
+
+def _row_upsample2(x):
+    """[..., Hc, G, L] -> [..., 2Hc, G, L] duplicating rows."""
+    *lead, Hc, G, L = x.shape
+    return jnp.broadcast_to(x[..., :, None, :, :],
+                            (*lead, Hc, 2, G, L)).reshape(*lead, 2 * Hc, G, L)
+
+
+def _group_repeat(x, r: int):
+    """[..., H, G, L] -> [..., H, r*G, L]: out group g = x group g // r."""
+    *lead, H, G, L = x.shape
+    return jnp.broadcast_to(x[..., :, :, None, :],
+                            (*lead, H, G, r, L)).reshape(*lead, H, r * G, L)
+
+
+def pool_backward(R_coarse, mask_fine, C: int, kw: int = 2):
+    """Route coarse relevance through a (2,kw) MaxPool to fine resolution.
+
+    Dispatches on the packing: (kw=2, P>=2) is the measured 3s/toy path
+    (pool2x2_backward); (kw=2, P=1) serves the C=100/128 levels of the 6s
+    net; (kw=4, P=2) serves its (2,4) block-1 pool. mask_fine from
+    maxpool_fine_mask (broadcasts over leading clone axes)."""
+    L = R_coarse.shape[-1]
+    P = L // C
+    if kw == 2 and P >= 2:
+        return pool2x2_backward(R_coarse, mask_fine, C)
+    Ru = _row_upsample2(R_coarse)
+    if kw == 2 and P == 1:
+        # fine group gf reads coarse group gf // 2 (single column per group)
+        return _group_repeat(Ru, 2) * mask_fine
+    if kw == 4 and P == 2:
+        # fine group 4gc+j reads coarse group gc, block j//2, both lanes
+        r4 = _group_repeat(Ru, 4)
+        lane = _lane_iota(r4)
+        p = lane // C
+        lo = jnp.where(p == 0, r4, _roll(r4, C))     # block-0 content at all p
+        hi = jnp.where(p == 1, r4, _roll(r4, -C))    # block-1 content at all p
+        g = jax.lax.broadcasted_iota(jnp.int32, r4.shape, r4.ndim - 2)
+        Rf = jnp.where((g // 2) % 2 == 0, lo, hi)
+        return Rf * mask_fine
+    raise ValueError(f"unsupported pool routing: kw={kw}, P={P}")
 
 
 def pool2x2_backward(R_coarse, mask_fine, C: int):
@@ -307,6 +409,28 @@ def conv3x3_packed_vpu(x, wlanes, C: int):
 
 # ------------------------------------------------------------ chain blocks
 
+def _gamma_prep(x, wz1, wz3, biases, Ci, gamma, stab):
+    """Per-instance (clone-shared) pieces of the gamma backward: the true
+    pre-activation and the two stabilized rule masks, from the packed conv
+    input x [H, G, P*Ci]."""
+    bias1, bias0, bias2 = biases[0], biases[1], biases[2]
+    z1 = conv3x3_packed(x, wz1, Ci) + bias1
+    z3 = conv3x3_packed(x, wz3, Ci)
+    z_true = (z1 + z3 - bias1) * np.float32(1.0 / (2.0 + gamma)) + bias0
+    m1 = jnp.where(z_true > 0, 1.0, 0.0) / stabilize(z1 + bias2, stab)
+    m3 = jnp.where(z_true < 0, 1.0, 0.0) / stabilize(z3, stab)
+    return z_true, m1, m3
+
+
+def _gamma_apply(R, x, z_true, m1, m3, wT1, wT3, Co, leading_gate=True):
+    """Per-clone half of the gamma backward (see _gamma_prep)."""
+    if leading_gate:
+        R = R * relu_gate(z_true)
+    c = (conv3x3_packed(R * m1.astype(R.dtype), wT1, Co)
+         + conv3x3_packed(R * m3.astype(R.dtype), wT3, Co))
+    return x * c
+
+
 def _gamma_core(R, x, wz1, wz3, wT1, wT3, biases, Ci, Co, gamma, stab,
                 leading_gate=True):
     """Backward through [relu-above?] + gamma_nonneg conv, all packed.
@@ -317,45 +441,84 @@ def _gamma_core(R, x, wz1, wz3, wT1, wT3, biases, Ci, Co, gamma, stab,
     rules.lrp_gamma_nonneg (z2 is the bias-only term; z_true derived
     algebraically from z1+z3). Returns R at the conv INPUT level
     [K, H, G, 128]."""
-    bias1, bias0, bias2 = biases[0], biases[1], biases[2]
-    z1 = conv3x3_packed(x, wz1, Ci) + bias1
-    z3 = conv3x3_packed(x, wz3, Ci)
-    z_true = (z1 + z3 - bias1) * np.float32(1.0 / (2.0 + gamma)) + bias0
-    if leading_gate:
-        R = R * relu_gate(z_true)
-    m1 = jnp.where(z_true > 0, 1.0, 0.0) / stabilize(z1 + bias2, stab)
-    m3 = jnp.where(z_true < 0, 1.0, 0.0) / stabilize(z3, stab)
-    c = (conv3x3_packed(R * m1.astype(R.dtype), wT1, Co)
-         + conv3x3_packed(R * m3.astype(R.dtype), wT3, Co))
-    return x * c
+    z_true, m1, m3 = _gamma_prep(x, wz1, wz3, biases, Ci, gamma, stab)
+    return _gamma_apply(R, x, z_true, m1, m3, wT1, wT3, Co, leading_gate)
 
 
-def _inner_block_kernel(R_ref, x_ref, apre_ref, wz1_ref, wz3_ref, wT1_ref,
-                        wT3_ref, b_ref, out_ref, *, Ci, Co, gamma, stab,
-                        leading_gate):
-    """One grid step = one instance: [relu gate] -> gamma conv rule ->
-    maxpool(2,2) backward, fine mask from the recorded pre-relu activation
-    of the block below (pool input = relu(apre))."""
-    R = R_ref[0]
-    x = x_ref[0]
-    Rn = _gamma_core(R, x, wz1_ref[:], wz3_ref[:], wT1_ref[:], wT3_ref[:],
-                     b_ref[:], Ci, Co, gamma, stab, leading_gate)
+def _chain_block_kernel(*refs, metas, pool_cfg, kloop):
+    """One grid step = one instance: for each conv of the block, TOP-DOWN,
+    [relu gate] -> gamma conv rule; then optionally the (2,kw) maxpool
+    backward of the pool BELOW this block (fine mask from the recorded
+    pre-relu activation of the block below: pool input = relu(apre)).
+
+    refs: R, x_top..x_bottom (conv inputs, top-down), [apre if pool],
+    then per conv (top-down) wz1, wz3, wT1, wT3, biases, then out.
+    metas: per-conv dicts (Ci, Co, gamma, stab), top-down. pool_cfg:
+    None or (kw, C_pool). With kloop the K clones run sequentially so only
+    one map per level is live at a time (big-map blocks)."""
+    m = len(metas)
+    R_ref = refs[0]
+    x_refs = refs[1:1 + m]
+    idx = 1 + m
+    apre_ref = refs[idx] if pool_cfg is not None else None
+    if pool_cfg is not None:
+        idx += 1
+    w_refs = refs[idx:idx + 5 * m]
+    out_ref = refs[-1]
+
+    if pool_cfg is not None:
+        kw, Cp = pool_cfg
+        mask = maxpool_fine_mask(jnp.maximum(apre_ref[0], 0.0), Cp, kw)
+
+    # clone-shared prep (denominators/masks once per instance)
+    preps = []
+    for j, meta in enumerate(metas):
+        preps.append(_gamma_prep(x_refs[j][0], w_refs[5 * j][:],
+                                 w_refs[5 * j + 1][:], w_refs[5 * j + 4][:],
+                                 meta["Ci"], meta["gamma"], meta["stab"]))
+
+    def walk(R):
+        for j, meta in enumerate(metas):
+            R = _gamma_apply(R, x_refs[j][0], *preps[j],
+                             w_refs[5 * j + 2][:], w_refs[5 * j + 3][:],
+                             meta["Co"], leading_gate=True)
+        if pool_cfg is not None:
+            R = pool_backward(R, mask, Cp, kw)
+        return R
+
+    if kloop:
+        K = R_ref.shape[1]
+        for k in range(K):
+            out_ref[0, k] = walk(R_ref[0, k])
+    else:
+        out_ref[0] = walk(R_ref[0])
+
+
+def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
+                             wz3_ref, wT1_ref, wT3_ref, b_ref, wl0_ref,
+                             mred_ref, out_ref, *, kw, gmeta, stab0):
+    """Deep first block (one gamma conv between the pool and the first conv,
+    e.g. the 6s net's block 1): pool backward -> relu gate + gamma rule ->
+    first-layer rule. One grid step = one (instance, clone) — at the 6s
+    128x256x64 fine level a single clone's walk plus the shared denominators
+    already peak ~80 MB of VMEM, so clones split across grid steps and the
+    per-instance pieces are recomputed per clone (the instance-indexed input
+    blocks are NOT re-fetched: their block index is unchanged across the K
+    inner steps)."""
     apre = apre_ref[0]
-    mask = maxpool2x2_fine_mask(jnp.maximum(apre, 0.0), Ci)
-    out_ref[0] = pool2x2_backward(Rn, mask, Ci)
-
-
-def _gamma_only_kernel(R_ref, x_ref, wz1_ref, wz3_ref, wT1_ref,
-                       wT3_ref, b_ref, out_ref, *, Ci, Co, gamma, stab,
-                       leading_gate):
-    """Gamma block without the trailing pool (the bottom inner conv; pool +
-    first layer run in _first_layer_kernel — split keeps each kernel under
-    the 16 MB VMEM budget at the 128x128 fine level)."""
-    R = R_ref[0]
-    x = x_ref[0]
-    out_ref[0] = _gamma_core(R, x, wz1_ref[:], wz3_ref[:], wT1_ref[:],
-                             wT3_ref[:], b_ref[:], Ci, Co, gamma, stab,
-                             leading_gate)
+    a1 = a1_ref[0]
+    C_pool = gmeta["Co"]                     # pool level = gamma conv output
+    C0 = gmeta["Ci"]                         # first-layer level = conv0 out
+    mask = maxpool_fine_mask(jnp.maximum(apre, 0.0), C_pool, kw)
+    s = pool_backward(R_ref[0, 0], mask, C_pool, kw)
+    x1 = jnp.maximum(a1, 0.0)                # the gamma conv's recorded input
+    z_true, m1, m3 = _gamma_prep(x1, wz1_ref[:], wz3_ref[:], b_ref[:],
+                                 gmeta["Ci"], gmeta["gamma"], gmeta["stab"])
+    Rn = _gamma_apply(s, x1, z_true, m1, m3, wT1_ref[:], wT3_ref[:],
+                      gmeta["Co"])
+    s0 = Rn * (relu_gate(a1) / stabilize(z0_ref[:], stab0))
+    acc = conv3x3_packed_vpu(s0, wl0_ref[:], C0)
+    out_ref[0, 0] = _mm(acc, mred_ref[:])
 
 
 def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
@@ -403,86 +566,134 @@ def _gmod_neg(g):
     return lambda p: p + g * jnp.minimum(p, 0.0)
 
 
+def _pow2_floor(v: int) -> int:
+    p = 1
+    while p * 2 <= v:
+        p *= 2
+    return p
+
+
 def plan_chain(conv_section: Sequence, params: dict, composite):
     """Validate the conv-section against the supported topology and collect
     per-block metadata. Returns None when unsupported (caller falls back to
     the XLA path).
 
-    Supported: [conv, relu, maxpool(2,2)] * n + [conv, relu] head read
-    backward, n >= 1; first conv rule wsquare/flat with any Ci; inner conv
-    rules gamma (non-negative-input specialization applies by construction);
-    every inner channel count divides 128 and is <= 64 at pool levels."""
+    Supported topology (read bottom-up): conv(wsquare/flat, Cin=1) relu
+    [conv(gamma) relu]* maxpool(2,2|2,4), then any number of
+    [conv(gamma) relu]+ maxpool(2,2) blocks, then a [conv(gamma) relu]+
+    head. Covers the 3s/toy families (single-conv blocks, (2,2) pools) and
+    the 6s family (block_depth=2, (2,4) block-1 pool, C in {64, 100, 128}).
+    Each block's kernel packs at P = pow2_floor(128 / maxC) — P=1 (plain
+    lanes) at the C=100/128 levels. Block 0 may hold at most one gamma conv
+    above the first conv (its input is recomputed as relu(conv0-out) in the
+    deep first kernel); a (2,4) pool needs P == 2 at its level."""
     specs = list(conv_section)
-    if len(specs) < 5 or (len(specs) - 2) % 3 != 0:
+    if len(specs) < 2 or specs[0].kind != "conv" or specs[-1].kind != "relu":
         return None
-    kinds = [s.kind for s in specs]
-    if kinds[-1] != "relu" or kinds[0] != "conv":
+    # ---- parse blocks: [conv relu]+ pool, ..., trailing block without pool
+    blocks = []
+    cur: list = []
+    i = 0
+    n = len(specs)
+    while i < n:
+        if specs[i].kind != "conv":
+            return None
+        cur.append(i)
+        if i + 1 >= n or specs[i + 1].kind != "relu":
+            return None
+        i += 2
+        if i == n:
+            blocks.append({"convs": cur, "pool_above": None})
+            break
+        if specs[i].kind == "maxpool":
+            kh, kw = specs[i].config["kernel"]
+            if kh != 2 or kw not in (2, 4):
+                return None
+            blocks.append({"convs": cur, "pool_above": (i, kh, kw)})
+            cur = []
+            i += 1
+    if len(blocks) < 2 or blocks[-1]["pool_above"] is not None:
         return None
-    n_blocks = (len(specs) - 2) // 3
-    convs = []
-    for bi in range(n_blocks + 1):
-        i = bi * 3
-        if specs[i].kind != "conv" or specs[i + 1].kind != "relu":
-            return None
-        if bi < n_blocks and (specs[i + 2].kind != "maxpool"
-                              or tuple(specs[i + 2].config["kernel"]) != (2, 2)):
-            return None
-        convs.append(i)
-    # rules
+    # ---- first conv: wsquare/flat on the single mel channel
     first_rule = composite.rule_for(specs[0].name)
     if first_rule is None or first_rule[0] not in ("wsquare", "flat"):
         return None
-    w0 = params[specs[0].name]["w"]
-    if w0.shape[1] != 1:          # mel input is single-channel; fall back
+    if params[specs[0].name]["w"].shape[1] != 1:
         return None
-    inner = []
-    for i in convs[1:]:
-        rule = composite.rule_for(specs[i].name)
-        if rule is None or rule[0] not in ("gamma", "gamma_nonneg"):
-            return None
-        p = params[specs[i].name]
-        Ci = p["w"].shape[1]
-        Co = p["w"].shape[0]
-        if 128 % Ci or 128 % Co or Ci > 64 or Co > 128 or "b" not in p:
-            return None
-        inner.append((i, rule[1]))
-    if not inner:
+    # block 0: at most one gamma conv above the first conv (deep kernel)
+    if len(blocks[0]["convs"]) > 2:
         return None
-    return {"specs": specs, "convs": convs, "inner": inner,
-            "first_rule": first_rule}
+    # ---- gamma rules + channel limits on every non-first conv
+    for blk in blocks:
+        blk["rules"] = {}
+        for ci in blk["convs"]:
+            if ci == 0:
+                continue
+            rule = composite.rule_for(specs[ci].name)
+            if rule is None or rule[0] not in ("gamma", "gamma_nonneg"):
+                return None
+            p = params[specs[ci].name]
+            if "b" not in p or p["w"].shape[0] > 128 or p["w"].shape[1] > 128:
+                return None
+            blk["rules"][ci] = rule[1]
+    # ---- per-kernel packing factor
+    for bi, blk in enumerate(blocks):
+        chans = []
+        for ci in blk["convs"]:
+            w = params[specs[ci].name]["w"]
+            chans += [w.shape[0]] + ([] if ci == 0 else [w.shape[1]])
+        # a pool handled by this block's kernel routes at the level of this
+        # block's bottom conv input (i >= 2) — its C is already in chans via
+        # the bottom conv's Ci
+        blk["P"] = _pow2_floor(128 // max(chans))
+    # pool dispatch support: (2,4) only above block 0 and only at P == 2
+    for bi in range(len(blocks) - 1):
+        pi, kh, kw = blocks[bi]["pool_above"]
+        # the pool above block bi runs in block bi+1's kernel for bi >= 1,
+        # in the first-block kernel for bi == 0 — both pack at that kernel's P
+        P_k = blocks[bi + 1]["P"] if bi >= 1 else blocks[0]["P"]
+        c_pool = params[specs[blocks[bi]["convs"][-1]].name]["w"].shape[0]
+        if kw == 4 and (bi != 0 or P_k != 2):
+            return None
+        if c_pool * P_k > 128:
+            return None
+    # the m0 == 1 fast path (F-trick kernel) supports kw == 2 only
+    if len(blocks[0]["convs"]) == 1 and blocks[0]["pool_above"][2] != 2:
+        return None
+    return {"specs": specs, "blocks": blocks, "first_rule": first_rule}
 
 
-def _prep_inner_weights(params, spec, kwargs):
-    """Packed weight set for one inner gamma conv."""
+def _prep_inner_weights(params, spec, kwargs, P: int):
+    """Packed weight set for one inner gamma conv, at the block kernel's
+    packing factor P."""
     p = params[spec.name]
     w, b = p["w"], p["b"]
     Ci = w.shape[1]
-    Pi = 128 // Ci
     g = float(kwargs.get("gamma", 0.25))
     stab = float(kwargs.get("stabilizer", 1e-6))
     gp, gn = _gmod_pos(g), _gmod_neg(g)
     return {
-        "wz1": pack_conv_weights(w, Pi, gp),
-        "wz3": pack_conv_weights(w, Pi, gn),
-        "wT1": pack_convT_weights(w, Pi, gp),
-        "wT3": pack_convT_weights(w, Pi, gn),
-        "biases": jnp.stack([pack_bias(b, Pi, gp), pack_bias(b, Pi),
-                             pack_bias(b, Pi, gn)]),
-        "gamma": g, "stab": stab, "Ci": Ci, "Co": w.shape[0], "Pi": Pi,
+        "wz1": pack_conv_weights(w, P, gp),
+        "wz3": pack_conv_weights(w, P, gn),
+        "wT1": pack_convT_weights(w, P, gp),
+        "wT3": pack_convT_weights(w, P, gn),
+        "biases": jnp.stack([pack_bias(b, P, gp), pack_bias(b, P),
+                             pack_bias(b, P, gn)]),
+        "gamma": g, "stab": stab, "Ci": Ci, "Co": w.shape[0], "Pi": P,
     }
 
 
-def _prep_first_weights(params, spec, rule, fine_hw):
+def _prep_first_weights(params, spec, rule, fine_hw, P: int):
     """First-layer (wsquare/flat) packed pieces: the input-independent
     denominator map z0, the lane-pattern transposed-conv taps and the
-    block-diagonal channel-reduction matrix."""
+    block-diagonal channel-reduction matrix, at the first-block kernel's
+    packing factor P."""
     from drsa_audio_tpu.models.vgg import conv2d_same
     p = params[spec.name]
     w, b = p["w"], p.get("b")
     name, kwargs = rule
     stab0 = float(kwargs.get("stabilizer", 1e-6))
     Co, Cin = w.shape[0], w.shape[1]
-    P = 128 // Co
     H, W = fine_hw
     if name == "wsquare":
         wm, bm = w * w, (b * b if b is not None else None)
@@ -491,7 +702,7 @@ def _prep_first_weights(params, spec, rule, fine_hw):
     ones = jnp.ones((1, Cin, H, W), jnp.float32)
     z0_nchw = conv2d_same(ones, wm, bm)                     # [1, Co, H, W]
     z0 = jnp.transpose(z0_nchw, (0, 2, 3, 1))               # [1, H, W, Co]
-    z0p = pack(z0[0], 128 // Co)                            # [H, G, 128]
+    z0p = pack(z0[0], P)                                # [H, G, P*Co]
     # transposed taps: wT[dy, dx, co] = wm[co, 0, 2-dy, 2-dx]; Cin == 1 for
     # both supported model families (mel input)
     assert Cin == 1, "first conv with Cin > 1 unsupported in fused chain"
@@ -502,111 +713,139 @@ def _prep_first_weights(params, spec, rule, fine_hw):
             "P0": P, "Co0": Co}
 
 
+def _const_spec(arr):
+    """BlockSpec for a whole replicated (weight) array."""
+    nd = arr.ndim
+    return pl.BlockSpec(arr.shape, lambda n, *rest, _nd=nd: (0,) * _nd)
+
+
 def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
     """Run the fused chain. acts_nhwc: recorded NHWC inputs per conv-section
     layer (batch-leading, from explain_forward_upper(nhwc=True));
     R_nhwc: [b, K, H, W, C] relevance at the TOP conv's output level.
     Returns heatmaps [b, K, Hf, Wf] at the model input level."""
     specs = plan["specs"]
-    inner = plan["inner"]
+    blocks = plan["blocks"]
     b = R_nhwc.shape[0]
+    nb = len(blocks)
 
-    # packed activations per inner conv: x = acts[i], a_pre = acts[i - 2]
-    weights = [
-        _prep_inner_weights(params, specs[i], kwargs) for i, kwargs in inner
-    ]
     first_spec = specs[0]
     a1 = acts_nhwc[1]                                  # first conv's output
     Hf, Wf = a1.shape[1], a1.shape[2]
+    P0 = blocks[0]["P"]
     fw = _prep_first_weights(params, first_spec, plan["first_rule"],
-                             (Hf, Wf))
+                             (Hf, Wf), P0)
 
-    R = pack(R_nhwc, weights[-1]["Pi"])
+    def act_packed(idx, P):
+        return pack(acts_nhwc[idx], P)
 
-    def act_packed(idx, C):
-        return pack(acts_nhwc[idx], 128 // C)
+    # R enters at the head block's top conv output level
+    R = pack(R_nhwc, blocks[-1]["P"])
 
-    # walk inner convs top-down; all but the bottom fuse the trailing pool
-    for bi in range(len(inner) - 1, -1, -1):
-        i, _ = inner[bi]
-        wset = weights[bi]
-        Ci, Co = wset["Ci"], wset["Co"]
-        R = pack(unpack(R, Co), wset["Pi"])   # free repack to this grouping
-        x = act_packed(i, Ci)
-        H, G = x.shape[1], x.shape[2]
-        weight_args = (wset["wz1"], wset["wz3"], wset["wT1"], wset["wT3"],
-                       wset["biases"])
-        weight_specs = [
-            pl.BlockSpec(wset["wz1"].shape, lambda n: (0, 0, 0, 0)),
-            pl.BlockSpec(wset["wz3"].shape, lambda n: (0, 0, 0, 0)),
-            pl.BlockSpec(wset["wT1"].shape, lambda n: (0, 0, 0, 0)),
-            pl.BlockSpec(wset["wT3"].shape, lambda n: (0, 0, 0, 0)),
-            pl.BlockSpec(wset["biases"].shape, lambda n: (0, 0)),
-        ]
-        if bi > 0:
-            apre = act_packed(i - 2, Ci)
-            HF, GF = apre.shape[1], apre.shape[2]
-            kern = functools.partial(
-                _inner_block_kernel, Ci=Ci, Co=Co, gamma=wset["gamma"],
-                stab=wset["stab"], leading_gate=True)
-            R = pl.pallas_call(
-                kern,
-                grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((1, K) + R.shape[2:],
-                                 lambda n: (n, 0, 0, 0, 0)),
-                    pl.BlockSpec((1, H, G, 128), lambda n: (n, 0, 0, 0)),
-                    pl.BlockSpec((1, HF, GF, 128), lambda n: (n, 0, 0, 0)),
-                ] + weight_specs,
-                out_specs=pl.BlockSpec((1, K, HF, GF, 128),
-                                       lambda n: (n, 0, 0, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, 128),
-                                               jnp.float32),
-                compiler_params=_params(),
-                interpret=_interpret(),
-            )(R, x, apre, *weight_args)
+    # ---- walk blocks top-down; each kernel = the block's convs + the pool
+    # below it (except block 1, whose below-pool fuses into the first kernel)
+    for i in range(nb - 1, 0, -1):
+        blk = blocks[i]
+        P = blk["P"]
+        convs_td = list(reversed(blk["convs"]))
+        metas, wargs = [], []
+        for ci in convs_td:
+            ws = _prep_inner_weights(params, specs[ci], blk["rules"][ci], P)
+            metas.append({"Ci": ws["Ci"], "Co": ws["Co"],
+                          "gamma": ws["gamma"], "stab": ws["stab"]})
+            wargs += [ws["wz1"], ws["wz3"], ws["wT1"], ws["wT3"],
+                      ws["biases"]]
+        R = pack(unpack(R, metas[0]["Co"]), P)     # free repack to this P
+        xs = [act_packed(ci, P) for ci in convs_td]
+        in_arrays = [R] + xs
+        in_specs = [pl.BlockSpec((1, K) + R.shape[2:],
+                                 lambda n: (n, 0, 0, 0, 0))]
+        in_specs += [pl.BlockSpec((1,) + x.shape[1:], lambda n: (n, 0, 0, 0))
+                     for x in xs]
+        if i >= 2:
+            pi, kh, kw = blocks[i - 1]["pool_above"]
+            apre = act_packed(pi - 1, P)           # pre-relu pool input
+            in_arrays.append(apre)
+            in_specs.append(pl.BlockSpec((1,) + apre.shape[1:],
+                                         lambda n: (n, 0, 0, 0)))
+            pool_cfg = (kw, metas[-1]["Ci"])
+            out_hgl = apre.shape[1:]
         else:
-            # bottom inner conv: gamma only (pool + first layer below)
-            kern = functools.partial(
-                _gamma_only_kernel, Ci=Ci, Co=Co, gamma=wset["gamma"],
-                stab=wset["stab"], leading_gate=True)
-            R = pl.pallas_call(
-                kern,
-                grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((1, K) + R.shape[2:],
-                                 lambda n: (n, 0, 0, 0, 0)),
-                    pl.BlockSpec((1, H, G, 128), lambda n: (n, 0, 0, 0)),
-                ] + weight_specs,
-                out_specs=pl.BlockSpec((1, K, H, G, 128),
-                                       lambda n: (n, 0, 0, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct((b, K, H, G, 128),
-                                               jnp.float32),
-                compiler_params=_params(),
-                interpret=_interpret(),
-            )(R, x, *weight_args)
+            pool_cfg = None
+            out_hgl = (xs[-1].shape[1], xs[-1].shape[2],
+                       P * metas[-1]["Ci"])
+        kern = functools.partial(_chain_block_kernel, metas=metas,
+                                 pool_cfg=pool_cfg, kloop=False)
+        R = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=in_specs + [_const_spec(w) for w in wargs],
+            out_specs=pl.BlockSpec((1, K) + out_hgl,
+                                   lambda n: (n, 0, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, K) + out_hgl, jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(*in_arrays, *wargs)
 
-    # first layer: F (route mask * relu gate / stabilized z0) computed
-    # IN-KERNEL from the packed first-conv output (see _first_layer_kernel)
-    C1 = weights[0]["Ci"]
-    a1p = pack(a1, 128 // C1)                    # [b, HF, GF, 128]
+    # ---- first block
+    pi, kh, kw = blocks[0]["pool_above"]
+    a1p = pack(a1, P0)                           # [b, HF, GF, P0*Co0]
     HF, GF = a1p.shape[1], a1p.shape[2]
-    P0 = fw["P0"]
-    kern = functools.partial(_first_layer_kernel, Ci=C1, K=K,
-                             stab0=fw["stab0"])
-    out = pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
-            pl.BlockSpec((1, HF, GF, 128), lambda n: (n, 0, 0, 0)),
-            pl.BlockSpec(fw["z0p"].shape, lambda n: (0, 0, 0)),
-            pl.BlockSpec(fw["wl0"].shape, lambda n: (0, 0, 0)),
-            pl.BlockSpec(fw["mred"].shape, lambda n: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, K, HF, GF, P0), lambda n: (n, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(R, a1p, fw["z0p"], fw["wl0"], fw["mred"])
+    m0 = len(blocks[0]["convs"])
+    if m0 == 1:
+        # measured 3s/toy fast path: pool route, relu gate and first-layer
+        # denominator fused into one F multiplier (see _first_layer_kernel)
+        C1 = fw["Co0"]
+        R = pack(unpack(R, C1), P0)
+        kern = functools.partial(_first_layer_kernel, Ci=C1, K=K,
+                                 stab0=fw["stab0"])
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
+                pl.BlockSpec((1,) + a1p.shape[1:], lambda n: (n, 0, 0, 0)),
+                _const_spec(fw["z0p"]), _const_spec(fw["wl0"]),
+                _const_spec(fw["mred"]),
+            ],
+            out_specs=pl.BlockSpec((1, K, HF, GF, P0),
+                                   lambda n: (n, 0, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(R, a1p, fw["z0p"], fw["wl0"], fw["mred"])
+    else:
+        # deep first block (6s family): one (instance, clone) per grid step
+        ci_g = blocks[0]["convs"][1]
+        gws = _prep_inner_weights(params, specs[ci_g],
+                                  blocks[0]["rules"][ci_g], P0)
+        gmeta = {"Ci": gws["Ci"], "Co": gws["Co"], "gamma": gws["gamma"],
+                 "stab": gws["stab"]}
+        apre0 = act_packed(pi - 1, P0)           # gamma conv's pre-relu out
+        R = pack(unpack(R, gws["Co"]), P0)
+        kern = functools.partial(_first_block_deep_kernel, kw=kw,
+                                 gmeta=gmeta, stab0=fw["stab0"])
+        out = pl.pallas_call(
+            kern,
+            grid=(b, K),
+            in_specs=[
+                pl.BlockSpec((1, 1) + R.shape[2:],
+                             lambda n, k: (n, k, 0, 0, 0)),
+                pl.BlockSpec((1,) + apre0.shape[1:],
+                             lambda n, k: (n, 0, 0, 0)),
+                pl.BlockSpec((1,) + a1p.shape[1:],
+                             lambda n, k: (n, 0, 0, 0)),
+                _const_spec(fw["z0p"]),
+                _const_spec(gws["wz1"]), _const_spec(gws["wz3"]),
+                _const_spec(gws["wT1"]), _const_spec(gws["wT3"]),
+                _const_spec(gws["biases"]),
+                _const_spec(fw["wl0"]), _const_spec(fw["mred"]),
+            ],
+            out_specs=pl.BlockSpec((1, 1, HF, GF, P0),
+                                   lambda n, k: (n, k, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(R, apre0, a1p, fw["z0p"], gws["wz1"], gws["wz3"], gws["wT1"],
+          gws["wT3"], gws["biases"], fw["wl0"], fw["mred"])
     return out.reshape(b, K, HF, GF * P0)

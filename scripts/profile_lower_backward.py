@@ -90,6 +90,9 @@ def aggregate_device_ops(space) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["lower", "upper"], default="lower",
+                    help="which staged program to trace: the fused lower "
+                         "backward (default) or the forward+upper-backward")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--logdir", default="/tmp/lrp_trace")
     ap.add_argument("--top", type=int, default=25)
@@ -132,19 +135,23 @@ def main():
         (BATCH, fe.sample_rate * fe.slice_length)).astype(np.float32))
     mels = logmel(peak_normalize(wavs), fe)[:, None]
     R_f, acts = stage_upper(mels)
-    out = stage_lower(acts, R_f)          # compile + warm
+    if args.stage == "upper":
+        run = lambda: stage_upper(mels)
+    else:
+        run = lambda: stage_lower(acts, R_f)
+    out = run()                           # compile + warm
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = stage_lower(acts, R_f)
+        out = run()
     jax.block_until_ready(out)
     wall_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
     os.makedirs(args.logdir, exist_ok=True)
     with jax.profiler.trace(args.logdir):
         for _ in range(args.iters):
-            out = stage_lower(acts, R_f)
+            out = run()
         jax.block_until_ready(out)
 
     space = load_xplane(args.logdir)

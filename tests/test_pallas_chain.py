@@ -219,3 +219,62 @@ def test_plan_chain_rejects_unsupported():
         **params[conv_sec[0].name],
         "w": jnp.concatenate([w0, w0, w0], axis=1)}
     assert plan_chain(conv_sec, params_mc, good) is None
+
+
+@pytest.mark.parametrize("C,kw", [(100, 2), (128, 2), (64, 4), (64, 2),
+                                  (32, 2)])
+def test_general_pool_backward_matches_vjp(C, kw, rng):
+    """General (2,kw) pool route at any packing (P=1 for C=100/128, the
+    (2,4) block-1 pool of the 6s net at P=2) vs the reduce_window vjp."""
+    P = max(1, 128 // C)
+    H, W = 8, max(4 * P, 2 * kw)
+    K = 3
+    a = rng.standard_normal((1, C, H, W)).astype(np.float32)
+    a[0, 0, :2, :kw] = 0.0                     # tied window
+    a[0, min(1, C - 1), :2, :] = 5.0           # row of equal values
+    a = np.maximum(a, 0.0)
+    g = rng.standard_normal((K, 1, C, H // 2, W // kw)).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda t: maxpool2d(t, (2, kw)), jnp.asarray(a))
+    want = np.stack([np.asarray(vjp(jnp.asarray(g[k]))[0])[0]
+                     for k in range(K)])
+
+    ap = to_packed(a, P)[0]
+    Rp = jnp.stack([pc.pack(jnp.transpose(jnp.asarray(g[k]), (0, 2, 3, 1)),
+                            P)[0] for k in range(K)])
+
+    def fused(a_fine, Rc):
+        mask = pc.maxpool_fine_mask(a_fine, C, kw)
+        return pc.pool_backward(Rc, mask, C, kw)
+
+    got = run_prim(fused, ap, Rp)
+    got_nchw = np.asarray(from_packed(got, C))
+    np.testing.assert_array_equal(got_nchw, want)
+
+
+def test_fused_chain_gtzan6s_matches_tiled(rng):
+    """The generalized chain on the 6s family: block_depth=2, (2,4) block-1
+    pool, C in {64, 100, 128} (P=1 levels), deep first block — vs the XLA
+    tiled path (reference workload: getdrsadata.py:72-108 model at layer 33)."""
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_6s_config, fold_batchnorm)
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN_6S
+
+    specs = build_layer_specs(gtzan_6s_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    specs, params = fold_batchnorm(specs, params)
+    U = random_orthogonal(jax.random.PRNGKey(7), 128)
+    specs_proj = insert_projection(specs, 33, U, 4, input_size=(128, 256))
+    composite = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
+    x = jnp.asarray(rng.standard_normal((1, 1, 128, 256)).astype(np.float32))
+    h_ref, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                 class_idx=0, nhwc=True, fused=False)
+    h_fused, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                   class_idx=0, nhwc=True, fused=True)
+    h_ref, h_fused = np.asarray(h_ref), np.asarray(h_fused)
+    assert np.all(np.isfinite(h_fused))
+    atol = 1e-5 * np.abs(h_ref).max()
+    np.testing.assert_allclose(h_fused, h_ref, rtol=1e-4, atol=atol)
