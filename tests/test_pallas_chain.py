@@ -252,10 +252,12 @@ def test_general_pool_backward_matches_vjp(C, kw, rng):
     np.testing.assert_array_equal(got_nchw, want)
 
 
-def test_fused_chain_gtzan6s_matches_tiled(rng):
+@pytest.mark.parametrize("layer_idx,d", [(33, 128), (19, 100)])
+def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, rng):
     """The generalized chain on the 6s family: block_depth=2, (2,4) block-1
     pool, C in {64, 100, 128} (P=1 levels), deep first block — vs the XLA
-    tiled path (reference workload: getdrsadata.py:72-108 model at layer 33)."""
+    tiled path (reference workload: getdrsadata.py:72-108 model; layer 33 =
+    the deepest DRSA layer, layer 19 = the P=1 C=100 head without pool)."""
     from drsa_audio_tpu.models.vgg import (
         build_layer_specs, init_params, gtzan_6s_config, fold_batchnorm)
     from drsa_audio_tpu.models.projection import insert_projection
@@ -266,8 +268,9 @@ def test_fused_chain_gtzan6s_matches_tiled(rng):
     specs = build_layer_specs(gtzan_6s_config())
     params = init_params(specs, jax.random.PRNGKey(0))
     specs, params = fold_batchnorm(specs, params)
-    U = random_orthogonal(jax.random.PRNGKey(7), 128)
-    specs_proj = insert_projection(specs, 33, U, 4, input_size=(128, 256))
+    U = random_orthogonal(jax.random.PRNGKey(7), d)
+    specs_proj = insert_projection(specs, layer_idx, U, 4,
+                                   input_size=(128, 256))
     composite = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
     x = jnp.asarray(rng.standard_normal((1, 1, 128, 256)).astype(np.float32))
     h_ref, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
