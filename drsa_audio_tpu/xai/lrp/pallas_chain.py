@@ -95,6 +95,37 @@ def pack_bias(b: jnp.ndarray, P: int, b_mod=None) -> jnp.ndarray:
     return jnp.tile(bb, P)
 
 
+def _banded(m: jnp.ndarray, P: int) -> jnp.ndarray:
+    """[3, Ci, Co] per-dx tap matrices -> [(P+2)*Ci, P*Co] banded window
+    contraction: output block p reads window slots p, p+1, p+2 (= columns
+    g*P + p - 1 .. g*P + p + 1) through taps dx = 0..2."""
+    Ci, Co = m.shape[1], m.shape[2]
+    out = np.zeros(((P + 2) * Ci, P * Co), np.float32)
+    mh = np.asarray(m)
+    for p in range(P):
+        for d in range(3):
+            out[(p + d) * Ci:(p + d + 1) * Ci, p * Co:(p + 1) * Co] = mh[d]
+    return jnp.asarray(out)
+
+
+def pack_conv_weights_banded(w_oihw: jnp.ndarray, P: int,
+                             w_mod=None) -> jnp.ndarray:
+    """OIHW conv weights -> [3, (P+2)*Ci, P*Co] banded window matrices
+    (one matmul per row tap — see conv3x3_window_packed)."""
+    w = w_mod(w_oihw) if w_mod is not None else w_oihw
+    m = jnp.transpose(w, (2, 3, 1, 0))                 # [3, 3, Ci, Co]
+    return jnp.stack([_banded(m[dy], P) for dy in range(3)])
+
+
+def pack_convT_weights_banded(w_oihw: jnp.ndarray, P: int,
+                              w_mod=None) -> jnp.ndarray:
+    """Banded window matrices of the transposed conv (cf pack_convT_weights)."""
+    w = w_mod(w_oihw) if w_mod is not None else w_oihw
+    m = jnp.transpose(w, (2, 3, 1, 0))
+    mT = jnp.transpose(m[::-1, ::-1], (0, 1, 3, 2))    # [3, 3, Co, Ci]
+    return jnp.stack([_banded(mT[dy], P) for dy in range(3)])
+
+
 # ------------------------------------------------------- in-kernel helpers
 # These trace inside pallas kernels (jnp ops + pltpu.roll on VMEM values).
 
@@ -167,6 +198,30 @@ def conv3x3_packed(x, wtaps, C: int):
             sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=x.ndim - 3)
             d = _mm(sl, wtaps[dy, dx])
             acc = d if acc is None else acc + d
+    return acc
+
+
+def conv3x3_window_packed(x, wband, C: int):
+    """3x3 SAME conv as 3 banded window matmuls (one per row tap).
+
+    x: [..., H, G, P*C]; wband: [3, (P+2)*C, P*Co] (pack_conv_weights_banded).
+    The (P+2)-column window operand folds all 3 column taps into ONE matmul
+    contraction — (P+2)/(3P) of conv3x3_packed's padded MXU work (0.5x at
+    P=4) and a single operand read per row tap instead of three. Same
+    result as conv3x3_packed up to summation-order reassociation."""
+    L = x.shape[-1]
+    P = L // C
+    H = x.shape[-3]
+    sm = col_shift(x, -1, C)
+    sp = col_shift(x, 1, C)
+    win = jnp.concatenate([sm[..., :C], x, sp[..., (P - 1) * C:]], axis=-1)
+    pad_cfg = [(0, 0, 0)] * (x.ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
+    wp = jax.lax.pad(win, jnp.float32(0.0), pad_cfg)
+    acc = None
+    for dy in range(3):
+        sl = jax.lax.slice_in_dim(wp, dy, dy + H, axis=x.ndim - 3)
+        d = _mm(sl, wband[dy])
+        acc = d if acc is None else acc + d
     return acc
 
 

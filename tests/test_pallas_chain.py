@@ -281,3 +281,38 @@ def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, rng):
     assert np.all(np.isfinite(h_fused))
     atol = 1e-5 * np.abs(h_ref).max()
     np.testing.assert_allclose(h_fused, h_ref, rtol=1e-4, atol=atol)
+
+
+@pytest.mark.parametrize("Ci,Co", [(32, 32), (32, 64), (64, 64), (100, 100)])
+def test_conv3x3_window_packed_matches_xla(Ci, Co, rng):
+    """Banded window contraction (3 matmuls) vs the reference conv."""
+    P = max(1, 128 // Ci)
+    H, W = 8, max(2 * P, 4)
+    x = rng.standard_normal((1, Ci, H, W)).astype(np.float32)
+    w = (rng.standard_normal((Co, Ci, 3, 3)) * 0.2).astype(np.float32)
+    want = np.asarray(conv2d_same(jnp.asarray(x), jnp.asarray(w), None))
+
+    wband = pc.pack_conv_weights_banded(jnp.asarray(w), P)
+    xp = to_packed(x, P)[0]
+    got = run_prim(functools.partial(pc.conv3x3_window_packed, C=Ci),
+                   xp, wband)
+    got_nchw = np.asarray(from_packed(got[None], Co))
+    np.testing.assert_allclose(got_nchw, want, rtol=1e-5, atol=1e-5)
+
+
+def test_convT_window_packed_matches_vjp(rng):
+    Ci, Co, P = 32, 64, 4
+    H, W = 8, 2 * P
+    x = rng.standard_normal((1, Ci, H, W)).astype(np.float32)
+    g = rng.standard_normal((1, Co, H, W)).astype(np.float32)
+    w = (rng.standard_normal((Co, Ci, 3, 3)) * 0.2).astype(np.float32)
+    _, vjp = jax.vjp(lambda t: conv2d_same(t, jnp.asarray(w), None),
+                     jnp.asarray(x))
+    want = np.asarray(vjp(jnp.asarray(g))[0])
+
+    wbT = pc.pack_convT_weights_banded(jnp.asarray(w), P)
+    gp = pc.pack(jnp.transpose(jnp.asarray(g), (0, 2, 3, 1)), P)[0]
+    got = run_prim(functools.partial(pc.conv3x3_window_packed, C=Co),
+                   gp, wbT)
+    got_nchw = np.asarray(from_packed(got[None], Ci))
+    np.testing.assert_allclose(got_nchw, want, rtol=1e-5, atol=1e-5)
