@@ -316,3 +316,49 @@ def test_convT_window_packed_matches_vjp(rng):
                    gp, wbT)
     got_nchw = np.asarray(from_packed(got[None], Ci))
     np.testing.assert_allclose(got_nchw, want, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_chain_parser_edges():
+    """The general parser: deep-first-block limit (at most one gamma conv
+    above the first conv), (2,4) pools only above block 0 at P=2, and the
+    m0=1 fast path requiring a (2,2) block-1 pool."""
+    import dataclasses
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_6s_config, fold_batchnorm)
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import (
+        class_composite, _split_at_filter, _conv_section)
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.xai.lrp.pallas_chain import plan_chain
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_GTZAN_6S
+
+    specs = build_layer_specs(gtzan_6s_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    specs, params = fold_batchnorm(specs, params)
+    U = random_orthogonal(jax.random.PRNGKey(7), 128)
+    sp = insert_projection(specs, 33, U, 4, input_size=(128, 256))
+    lower, _ = _split_at_filter(sp)
+    conv_sec, _ = _conv_section(lower)
+    comp = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
+    base = plan_chain(conv_sec, params, comp)
+    assert base is not None and len(base["blocks"]) == 5
+
+    # three convs in block 0 (insert an extra conv+relu before the pool):
+    # deep first kernel supports at most one gamma conv above conv0
+    extra_conv = dataclasses.replace(conv_sec[2], name="features.extra")
+    extra_relu = dataclasses.replace(conv_sec[3], name="features.extra_relu")
+    params2 = dict(params)
+    params2["features.extra"] = params[conv_sec[2].name]
+    sec3 = conv_sec[:4] + [extra_conv, extra_relu] + conv_sec[4:]
+    comp3 = class_composite(
+        list(LRP_NAME_MAP_GTZAN_6S)
+        + [("features.extra", ("gamma", {"gamma": 0.3}))], 4)
+    assert plan_chain(sec3, params2, comp3) is None
+
+    # a (2,4) pool higher up (swap block-2's (2,2) for (2,4)): unsupported
+    sec24 = list(conv_sec)
+    i_pool2 = next(i for i, s in enumerate(sec24[5:], start=5)
+                   if s.kind == "maxpool")
+    sec24[i_pool2] = dataclasses.replace(
+        sec24[i_pool2], config={**sec24[i_pool2].config, "kernel": (2, 4)})
+    assert plan_chain(sec24, params, comp) is None
