@@ -37,7 +37,7 @@ def extract_act_rel_maps(
     _, _, captured = lrp(
         specs, params, input_batch, composite,
         output_mask_class(class_idx, one_hot_encoded),
-        capture=(layer_name,),
+        capture=(layer_name,), stop_after_capture=True,
     )
     return captured[layer_name]
 
@@ -66,7 +66,7 @@ def make_extract_fn(specs, params, composite, layer_idx: int,
             mask = jnp.broadcast_to(mask, logits.shape)
             return mask if one_hot_encoded else logits * mask
         _, _, captured = lrp(specs, params, x, composite, out_fn,
-                             capture=(layer_name,))
+                             capture=(layer_name,), stop_after_capture=True)
         return captured[layer_name]
 
     return fn

@@ -297,6 +297,7 @@ def lrp(
     composite: Composite,
     output_relevance: Callable[[jnp.ndarray], jnp.ndarray],
     capture: Sequence[str] = (),
+    stop_after_capture: bool = False,
 ):
     """Run LRP: forward recording activations, modified backward.
 
@@ -308,6 +309,12 @@ def lrp(
             (lrp_output_modifier semantics, reference attribute.py:111-161).
         capture: layer names whose (output activation, output relevance) to
             return — the preprocess_data hook equivalent.
+        stop_after_capture: end the backward walk once every captured layer
+            has been recorded — the DRSA extraction only needs relevance AT
+            the capture layer, and the layers below it (the fine-resolution
+            conv blocks) are the expensive majority of the walk. The
+            returned input_relevance is then the relevance at the lowest
+            captured layer's output, not the input.
 
     Returns:
         (input_relevance, logits, captured) where captured maps name ->
@@ -334,6 +341,8 @@ def lrp(
         if spec.name in capture:
             # relevance at the OUTPUT of this layer is the R arriving now
             captured[spec.name] = (a_out, R)
+            if stop_after_capture and len(captured) == len(capture):
+                return R, logits, captured
 
         rule = composite.rule_for(spec.name)
         if rule is not None and spec.kind in _RULE_LAYERS:
