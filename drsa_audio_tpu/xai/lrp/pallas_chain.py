@@ -444,6 +444,42 @@ def stabilize(z, eps: float):
     return z + jnp.where(z >= 0, eps, -eps).astype(z.dtype)
 
 
+# First-layer tail strategy: fold the transposed-conv tap weights into the
+# channel-reduction matmul ([128, P0] block-diagonal per tap) instead of 9
+# full-128-lane VPU multiply-accumulate passes. The kernel is
+# VPU-bandwidth-bound (byte count: ~2/3 of its passes are those multiplies),
+# so this projects ~2x on the 21 ms first-layer kernel — flag stays False
+# until the on-chip A/B (scripts/bench_first_layer.py) confirms it.
+FIRST_LAYER_MMTAPS = False
+
+
+def pack_first_mtaps(wm: jnp.ndarray, P: int) -> jnp.ndarray:
+    """[Co, 1, 3, 3] rule weights -> [3, 3, P*Co, P] per-tap reduce matrices:
+    mtaps[dy, dx] = blockdiag over P of the column wm[:, 0, 2-dy, 2-dx]
+    (transposed-conv tap), so s0 @ mtaps[dy, dx] applies the tap weight AND
+    the channel reduction in one contraction."""
+    taps = [[blockdiag(wm[:, 0, 2 - dy, 2 - dx][:, None], P)
+             for dx in range(3)] for dy in range(3)]
+    return jnp.stack([jnp.stack(r) for r in taps])
+
+
+def _first_tail_mm(s0, mtaps, C: int):
+    """First-layer transposed conv + channel reduction as 9 tap matmuls
+    (see pack_first_mtaps). Returns [..., H, G, P]."""
+    H = s0.shape[-3]
+    ndim = s0.ndim
+    S = (col_shift(s0, -1, C), s0, col_shift(s0, 1, C))
+    pad_cfg = [(0, 0, 0)] * (ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
+    acc = None
+    for dx in range(3):
+        sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
+        for dy in range(3):
+            sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=ndim - 3)
+            d = _mm(sl, mtaps[dy, dx])
+            acc = d if acc is None else acc + d
+    return acc
+
+
 def conv3x3_packed_vpu(x, wlanes, C: int):
     """Depthwise accumulate: out = sum_taps shift_tap(x) * wlanes[dy, dx, :]
     (lane-broadcast weight patterns, no channel mixing — used for the
@@ -551,7 +587,8 @@ def _chain_block_kernel(*refs, metas, pool_cfg, kloop):
 
 def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
                              wz3_ref, wT1_ref, wT3_ref, b_ref, wl0_ref,
-                             mred_ref, out_ref, *, kw, gmeta, stab0):
+                             mred_ref, out_ref, *, kw, gmeta, stab0,
+                             mm_taps=False):
     """Deep first block (one gamma conv between the pool and the first conv,
     e.g. the 6s net's block 1): pool backward -> relu gate + gamma rule ->
     first-layer rule. One grid step = one (instance, clone) — at the 6s
@@ -572,12 +609,15 @@ def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
     Rn = _gamma_apply(s, x1, z_true, m1, m3, wT1_ref[:], wT3_ref[:],
                       gmeta["Co"])
     s0 = Rn * (relu_gate(a1) / stabilize(z0_ref[:], stab0))
-    acc = conv3x3_packed_vpu(s0, wl0_ref[:], C0)
-    out_ref[0, 0] = _mm(acc, mred_ref[:])
+    if mm_taps:
+        out_ref[0, 0] = _first_tail_mm(s0, wl0_ref[:], C0)
+    else:
+        acc = conv3x3_packed_vpu(s0, wl0_ref[:], C0)
+        out_ref[0, 0] = _mm(acc, mred_ref[:])
 
 
 def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
-                        *, Ci, K, stab0):
+                        *, Ci, K, stab0, mm_taps=False):
     """Pool backward + relu gate + first-layer rule (wsquare/flat).
 
     The fine-level multiplier F — pool route mask * relu gate /
@@ -594,8 +634,11 @@ def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
     F = mask * relu_gate(a1) / stabilize(z0_ref[:], stab0)
     for k in range(K):
         s0 = pool2x2_backward(R_ref[0, k], F, Ci)
-        acc = conv3x3_packed_vpu(s0, wl0_ref[:], Ci)
-        out_ref[0, k] = _mm(acc, mred_ref[:])
+        if mm_taps:
+            out_ref[0, k] = _first_tail_mm(s0, wl0_ref[:], Ci)
+        else:
+            acc = conv3x3_packed_vpu(s0, wl0_ref[:], Ci)
+            out_ref[0, k] = _mm(acc, mred_ref[:])
 
 
 # ------------------------------------------------------------- host plan
@@ -763,8 +806,9 @@ def _prep_first_weights(params, spec, rule, fine_hw, P: int):
     assert Cin == 1, "first conv with Cin > 1 unsupported in fused chain"
     wl = jnp.stack([jnp.stack([jnp.tile(wm[:, 0, 2 - dy, 2 - dx], P)
                                for dx in range(3)]) for dy in range(3)])
-    mred = blockdiag(jnp.ones((Co, 1), jnp.float32), P)     # [128, P]
-    return {"z0p": z0p, "wl0": wl, "mred": mred, "stab0": stab0,
+    mred = blockdiag(jnp.ones((Co, 1), jnp.float32), P)     # [P*Co, P]
+    return {"z0p": z0p, "wl0": wl, "mred": mred,
+            "mtaps": pack_first_mtaps(wm, P), "stab0": stab0,
             "P0": P, "Co0": Co}
 
 
@@ -847,20 +891,22 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
     a1p = pack(a1, P0)                           # [b, HF, GF, P0*Co0]
     HF, GF = a1p.shape[1], a1p.shape[2]
     m0 = len(blocks[0]["convs"])
+    mm = FIRST_LAYER_MMTAPS
+    wl_arg = fw["mtaps"] if mm else fw["wl0"]    # tail weights (see flag)
     if m0 == 1:
         # measured 3s/toy fast path: pool route, relu gate and first-layer
         # denominator fused into one F multiplier (see _first_layer_kernel)
         C1 = fw["Co0"]
         R = pack(unpack(R, C1), P0)
         kern = functools.partial(_first_layer_kernel, Ci=C1, K=K,
-                                 stab0=fw["stab0"])
+                                 stab0=fw["stab0"], mm_taps=mm)
         out = pl.pallas_call(
             kern,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
                 pl.BlockSpec((1,) + a1p.shape[1:], lambda n: (n, 0, 0, 0)),
-                _const_spec(fw["z0p"]), _const_spec(fw["wl0"]),
+                _const_spec(fw["z0p"]), _const_spec(wl_arg),
                 _const_spec(fw["mred"]),
             ],
             out_specs=pl.BlockSpec((1, K, HF, GF, P0),
@@ -868,7 +914,7 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
             out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
             compiler_params=_params(),
             interpret=_interpret(),
-        )(R, a1p, fw["z0p"], fw["wl0"], fw["mred"])
+        )(R, a1p, fw["z0p"], wl_arg, fw["mred"])
     else:
         # deep first block (6s family): one (instance, clone) per grid step
         ci_g = blocks[0]["convs"][1]
@@ -879,7 +925,7 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
         apre0 = act_packed(pi - 1, P0)           # gamma conv's pre-relu out
         R = pack(unpack(R, gws["Co"]), P0)
         kern = functools.partial(_first_block_deep_kernel, kw=kw,
-                                 gmeta=gmeta, stab0=fw["stab0"])
+                                 gmeta=gmeta, stab0=fw["stab0"], mm_taps=mm)
         out = pl.pallas_call(
             kern,
             grid=(b, K),
@@ -894,7 +940,7 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
                 _const_spec(gws["wz1"]), _const_spec(gws["wz3"]),
                 _const_spec(gws["wT1"]), _const_spec(gws["wT3"]),
                 _const_spec(gws["biases"]),
-                _const_spec(fw["wl0"]), _const_spec(fw["mred"]),
+                _const_spec(wl_arg), _const_spec(fw["mred"]),
             ],
             out_specs=pl.BlockSpec((1, 1, HF, GF, P0),
                                    lambda n, k: (n, k, 0, 0, 0)),
@@ -902,5 +948,5 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
             compiler_params=_params(),
             interpret=_interpret(),
         )(R, apre0, a1p, fw["z0p"], gws["wz1"], gws["wz3"], gws["wT1"],
-          gws["wT3"], gws["biases"], fw["wl0"], fw["mred"])
+          gws["wT3"], gws["biases"], wl_arg, fw["mred"])
     return out.reshape(b, K, HF, GF * P0)

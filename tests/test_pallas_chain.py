@@ -362,3 +362,45 @@ def test_plan_chain_parser_edges():
     sec24[i_pool2] = dataclasses.replace(
         sec24[i_pool2], config={**sec24[i_pool2].config, "kernel": (2, 4)})
     assert plan_chain(sec24, params, comp) is None
+
+
+@pytest.mark.parametrize("cfg_name", ["gtzan3s", "gtzan6s"])
+def test_first_layer_mmtaps_flag_parity(cfg_name, rng, monkeypatch):
+    """FIRST_LAYER_MMTAPS changes only the first-layer tail contraction
+    order — heatmaps must agree to reassociation tolerance on both the
+    F-trick (3s) and deep (6s) first kernels."""
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_3s_config, gtzan_6s_config,
+        fold_batchnorm)
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN, LRP_NAME_MAP_GTZAN_6S)
+
+    if cfg_name == "gtzan3s":
+        specs = build_layer_specs(gtzan_3s_config())
+        params = init_params(specs, jax.random.PRNGKey(0))
+        U = random_orthogonal(jax.random.PRNGKey(7), 64)
+        specs_proj = insert_projection(specs, 10, U, 4)
+        composite = class_composite(LRP_NAME_MAP_GTZAN, 4)
+        hw = (128, 128)
+    else:
+        specs = build_layer_specs(gtzan_6s_config())
+        params = init_params(specs, jax.random.PRNGKey(0))
+        specs, params = fold_batchnorm(specs, params)
+        U = random_orthogonal(jax.random.PRNGKey(7), 128)
+        specs_proj = insert_projection(specs, 33, U, 4, input_size=(128, 256))
+        composite = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
+        hw = (128, 256)
+    x = jnp.asarray(rng.standard_normal((1, 1) + hw).astype(np.float32))
+
+    monkeypatch.setattr(pc, "FIRST_LAYER_MMTAPS", False)
+    h_vpu, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                 class_idx=0, nhwc=True, fused=True)
+    monkeypatch.setattr(pc, "FIRST_LAYER_MMTAPS", True)
+    h_mm, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                class_idx=0, nhwc=True, fused=True)
+    h_vpu, h_mm = np.asarray(h_vpu), np.asarray(h_mm)
+    atol = 1e-6 * np.abs(h_vpu).max()
+    np.testing.assert_allclose(h_mm, h_vpu, rtol=1e-5, atol=atol)
