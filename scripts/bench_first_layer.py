@@ -36,24 +36,14 @@ HF, WF = 128, 128
 
 def _first_layer_kernel_mmtaps(R_ref, a1_ref, z0_ref, mtaps_ref, out_ref,
                                *, Ci, K, stab0):
-    """Variant: per-tap block-diagonal reduce matrices (fold w into _mm)."""
+    """Variant: per-tap block-diagonal reduce matrices (fold w into _mm).
+    Same math as pc._first_layer_kernel(mm_taps=True)."""
     a1 = a1_ref[0]
     mask = pc.maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
     F = mask * pc.relu_gate(a1) / pc.stabilize(z0_ref[:], stab0)
-    H = a1.shape[-3]
-    ndim = a1.ndim
-    pad_cfg = [(0, 0, 0)] * (ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
     for k in range(K):
         s0 = pc.pool2x2_backward(R_ref[0, k], F, Ci)
-        S = (pc.col_shift(s0, -1, Ci), s0, pc.col_shift(s0, 1, Ci))
-        acc = None
-        for dx in range(3):
-            sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
-            for dy in range(3):
-                sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=ndim - 3)
-                d = pc._mm(sl, mtaps_ref[dy, dx])
-                acc = d if acc is None else acc + d
-        out_ref[0, k] = acc
+        out_ref[0, k] = pc._first_tail_mm(s0, mtaps_ref[:], Ci)
 
 
 def _first_layer_kernel_mmtaps_kvec(R_ref, a1_ref, z0_ref, mtaps_ref, out_ref,
@@ -63,30 +53,10 @@ def _first_layer_kernel_mmtaps_kvec(R_ref, a1_ref, z0_ref, mtaps_ref, out_ref,
     mask = pc.maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
     F = mask * pc.relu_gate(a1) / pc.stabilize(z0_ref[:], stab0)
     s0 = pc.pool2x2_backward(R_ref[0], F, Ci)          # [K, H, G, 128]
-    H = s0.shape[-3]
-    ndim = s0.ndim
-    pad_cfg = [(0, 0, 0)] * (ndim - 3) + [(1, 1, 0), (0, 0, 0), (0, 0, 0)]
-    S = (pc.col_shift(s0, -1, Ci), s0, pc.col_shift(s0, 1, Ci))
-    acc = None
-    for dx in range(3):
-        sp = jax.lax.pad(S[dx], jnp.float32(0.0), pad_cfg)
-        for dy in range(3):
-            sl = jax.lax.slice_in_dim(sp, dy, dy + H, axis=ndim - 3)
-            d = pc._mm(sl, mtaps_ref[dy, dx])
-            acc = d if acc is None else acc + d
-    out_ref[0] = acc
+    out_ref[0] = pc._first_tail_mm(s0, mtaps_ref[:], Ci)
 
 
-def pack_first_mtaps(wm: jnp.ndarray, P: int) -> jnp.ndarray:
-    """[Co, 1, 3, 3] rule weights -> [3, 3, P*Co, P] per-tap reduce mats.
-
-    mtaps[dy, dx] = blockdiag over P of the column vector
-    wm[:, 0, 2-dy, 2-dx] (transposed-conv tap), so
-    s0 @ mtaps[dy, dx] == sum_c s0[(p, c)] * wT[dy, dx, c] per block p.
-    """
-    taps = [[pc.blockdiag(wm[:, 0, 2 - dy, 2 - dx][:, None], P)
-             for dx in range(3)] for dy in range(3)]
-    return jnp.stack([jnp.stack(r) for r in taps])
+pack_first_mtaps = pc.pack_first_mtaps
 
 
 def run_prod(R, a1p, z0p, wl0, mred, b, Hc_shape):
