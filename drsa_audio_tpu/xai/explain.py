@@ -456,6 +456,55 @@ def sort_subspaces(subspace_heatmaps: np.ndarray):
     return sorted_maps, sorted_rel, order
 
 
+# Compiled heatmap programs shared ACROSS HeatmapGenerator instances: the
+# projection U and the class one-hot are traced arguments (the serving-layer
+# trick, serving.ExplainerService), so the eval harness's per-class / per-U
+# generator loop compiles ONE program per (model, layer, flags, batch shape)
+# instead of one per generator — and the explain walk runs jitted instead of
+# dispatching op-by-op (the same eager-walk cost that dominated the v2
+# extraction stage). Values hold strong refs to specs/params so the id-based
+# keys can't be recycled by the GC.
+_PROGRAM_CACHE: dict = {}
+
+
+def _heatmap_program(specs, params, name_map_repr, composite, num_concepts,
+                     layer_idx, input_size, class_mode, one_hot_encoded,
+                     shared_denominators, clone_chunk, num_classes):
+    key = (id(specs), id(params), name_map_repr, num_concepts, layer_idx,
+           input_size, class_mode, one_hot_encoded, shared_denominators,
+           clone_chunk, num_classes)
+    ent = _PROGRAM_CACHE.get(key)
+    if ent is not None:
+        return ent[0]
+
+    if class_mode == "single":
+        @jax.jit
+        def f(xc, U, onehot):
+            sp = insert_projection(specs, layer_idx, U, num_concepts,
+                                   input_size=input_size)
+            mask_fn = (lambda lg: jnp.broadcast_to(onehot, lg.shape)
+                       ) if one_hot_encoded else (lambda lg: lg * onehot[None, :])
+            heat, _ = subspace_heatmaps(
+                sp, params, xc, composite, num_concepts, output_mask=mask_fn,
+                shared_denominators=shared_denominators,
+                clone_chunk=clone_chunk)
+            return heat
+    else:
+        @jax.jit
+        def f(xc, U):
+            sp = insert_projection(specs, layer_idx, U, num_concepts,
+                                   input_size=input_size)
+            heat, _ = subspace_heatmaps(
+                sp, params, xc, composite, num_concepts,
+                num_classes=num_classes, one_hot_encoded=one_hot_encoded,
+                shared_denominators=shared_denominators,
+                clone_chunk=clone_chunk)
+            return heat
+
+    _PROGRAM_CACHE[key] = (f, specs, params)
+    return f
+
+
 @dataclasses.dataclass
 class HeatmapGenerator:
     """Drop-in equivalent of the reference HeatmapGenerator
@@ -484,9 +533,10 @@ class HeatmapGenerator:
         # input mel shape per case so the InvProjection restores non-square
         # maps (the 6 s net is 128x256)
         ap = AUDIO_PARAMS[case]
+        self._input_size = (ap["n_mels"], ap["mel_width"])
         self.specs_proj = insert_projection(
             self.specs, self.layer_idx, jnp.asarray(self.U, jnp.float32),
-            self.num_concepts, input_size=(ap["n_mels"], ap["mel_width"]))
+            self.num_concepts, input_size=self._input_size)
         self.composite = class_composite(self.name_map, self.num_concepts)
         self.info: dict = {}
 
@@ -498,17 +548,20 @@ class HeatmapGenerator:
         x = jnp.asarray(input_batch)
         self.info["input"] = np.asarray(x)
 
+        mode = "all" if flip_all_classes else "single"
+        prog = _heatmap_program(
+            self.specs, self.params, repr(self.name_map), self.composite,
+            self.num_concepts, self.layer_idx, self._input_size, mode,
+            one_hot_encoded, shared_denominators, clone_chunk,
+            self.num_classes)
+        U = jnp.asarray(self.U, jnp.float32)
+        onehot = jnp.zeros(self.num_classes, jnp.float32).at[
+            self.class_idx].set(1.0)
+
         def run(xc):
-            heat, _ = subspace_heatmaps(
-                self.specs_proj, self.params, xc, self.composite,
-                self.num_concepts,
-                class_idx=None if flip_all_classes else self.class_idx,
-                num_classes=self.num_classes if flip_all_classes else None,
-                one_hot_encoded=one_hot_encoded,
-                shared_denominators=shared_denominators,
-                clone_chunk=clone_chunk,
-            )
-            return np.asarray(heat)
+            if flip_all_classes:
+                return np.asarray(prog(xc, U))
+            return np.asarray(prog(xc, U, onehot))
 
         # attr_batch_size bounds device memory: the lower backward holds the
         # K-folded block-1 activations (the 6 s net's 128x256x64 maps OOM a
