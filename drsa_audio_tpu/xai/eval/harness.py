@@ -15,7 +15,7 @@ import numpy as np
 
 from drsa_audio_tpu.models.vgg import LayerSpec, forward
 from drsa_audio_tpu.xai.lrp.engine import (
-    Composite, compute_relevances, layer_map_composite,
+    Composite, layer_map_composite,
 )
 from drsa_audio_tpu.xai.explain import HeatmapGenerator
 from drsa_audio_tpu.xai.eval.flipping import Flipper
@@ -111,12 +111,39 @@ class PixelFlipping:
             first_layer_rule=make_rule(*conf["first_layer"]),
         )
 
+    def _attr_programs(self, name: str, composite):
+        """Per-configuration compiled attribution programs (the LRP walk is
+        tracing code; eager it dispatches op-by-op). The single-class program
+        traces the class one-hot so the per-class chunk loop shares it."""
+        if not hasattr(self, "_attr_cache"):
+            self._attr_cache = {}
+        ent = self._attr_cache.get(name)
+        if ent is None:
+            from drsa_audio_tpu.xai.lrp.engine import lrp, output_mask_all_classes
+
+            @jax.jit
+            def attr_single(xc, onehot):
+                R, _, _ = lrp(self.specs, self.params, xc, composite,
+                              lambda lg: lg * onehot[None, :])
+                return R
+
+            @jax.jit
+            def attr_balanced(xc):
+                R, _, _ = lrp(self.specs, self.params, xc, composite,
+                              output_mask_all_classes(self.num_classes))
+                return R
+
+            ent = (attr_single, attr_balanced)
+            self._attr_cache[name] = ent
+        return ent
+
     def __call__(self, configuration_grid: List[Dict], scaled_gamma=False,
                  flipping_mode=None):
         flips = None
         for conf in configuration_grid:
             name = configuration_name(conf)
             composite = self._composite_for(conf, scaled_gamma)
+            attr_single, attr_balanced = self._attr_programs(name, composite)
             # balanced consecutive-class batch: ONE LRP pass attributes every
             # sample's own class (the reference loops per class for GPU
             # memory, pf.py:164-176). attr_batch_size chunks the pass per
@@ -135,16 +162,14 @@ class PixelFlipping:
                 parts = []
                 for ci in range(self.num_classes):
                     cls_batch = self.input_batch[ci * spc:(ci + 1) * spc]
+                    onehot = jnp.zeros(self.num_classes,
+                                       jnp.float32).at[ci].set(1.0)
                     for j in range(0, spc, self.attr_batch_size):
-                        parts.append(compute_relevances(
-                            self.specs, self.params,
-                            cls_batch[j:j + self.attr_batch_size],
-                            composite, class_idx=ci))
+                        parts.append(attr_single(
+                            cls_batch[j:j + self.attr_batch_size], onehot))
                 R = jnp.concatenate(parts, axis=0)
             else:
-                R = compute_relevances(
-                    self.specs, self.params, self.input_batch, composite,
-                    num_classes=self.num_classes)
+                R = attr_balanced(self.input_batch)
             self.heatmaps[name] = np.asarray(R)
             aupc, mean_logits, flips = self.flipper(
                 self._fwd, self.input_batch, R, flipping_mode=flipping_mode)
