@@ -734,15 +734,21 @@ def plan_chain(conv_section: Sequence, params: dict, composite):
             if "b" not in p or p["w"].shape[0] > 128 or p["w"].shape[1] > 128:
                 return None
             blk["rules"][ci] = rule[1]
-    # ---- per-kernel packing factor
+    # ---- per-kernel packing factor: constrained by the channel counts of
+    # the maps the kernel OPERATES on at full width — conv inputs (Ci) and
+    # the pool level (= the bottom conv's Ci) — NOT by conv output widths:
+    # a P-packed conv just emits P*Co lanes (up to 256 on the 3s 32->64
+    # kernel, exactly as the measured round-3 kernels did). Folding Co into
+    # the choice would halve the 3s conv6 kernel's packing and leave its
+    # pool-level maps in half-empty VMEM tiles.
     for bi, blk in enumerate(blocks):
         chans = []
         for ci in blk["convs"]:
             w = params[specs[ci].name]["w"]
-            chans += [w.shape[0]] + ([] if ci == 0 else [w.shape[1]])
-        # a pool handled by this block's kernel routes at the level of this
-        # block's bottom conv input (i >= 2) — its C is already in chans via
-        # the bottom conv's Ci
+            if ci == 0:
+                chans.append(w.shape[0])   # first-layer tail level = Co0
+            else:
+                chans.append(w.shape[1])
         blk["P"] = _pow2_floor(128 // max(chans))
     # pool dispatch support: (2,4) only above block 0 and only at P == 2
     for bi in range(len(blocks) - 1):
