@@ -500,13 +500,27 @@ def conv3x3_packed_vpu(x, wlanes, C: int):
 
 # ------------------------------------------------------------ chain blocks
 
+# Inner-conv contraction strategy: banded (P+2)-column window matmuls
+# (conv3x3_window_packed) instead of 9 block-diagonal tap matmuls — half the
+# padded MXU work at P=4 and one operand read per row tap. Flag stays False
+# until the on-chip A/B confirms it; prep and kernels read it at the same
+# trace, so a flip is always self-consistent.
+INNER_WINDOW_CONV = False
+
+
+def _conv_rule(x, w, C):
+    if INNER_WINDOW_CONV:
+        return conv3x3_window_packed(x, w, C)
+    return conv3x3_packed(x, w, C)
+
+
 def _gamma_prep(x, wz1, wz3, biases, Ci, gamma, stab):
     """Per-instance (clone-shared) pieces of the gamma backward: the true
     pre-activation and the two stabilized rule masks, from the packed conv
     input x [H, G, P*Ci]."""
     bias1, bias0, bias2 = biases[0], biases[1], biases[2]
-    z1 = conv3x3_packed(x, wz1, Ci) + bias1
-    z3 = conv3x3_packed(x, wz3, Ci)
+    z1 = _conv_rule(x, wz1, Ci) + bias1
+    z3 = _conv_rule(x, wz3, Ci)
     z_true = (z1 + z3 - bias1) * np.float32(1.0 / (2.0 + gamma)) + bias0
     m1 = jnp.where(z_true > 0, 1.0, 0.0) / stabilize(z1 + bias2, stab)
     m3 = jnp.where(z_true < 0, 1.0, 0.0) / stabilize(z3, stab)
@@ -517,8 +531,8 @@ def _gamma_apply(R, x, z_true, m1, m3, wT1, wT3, Co, leading_gate=True):
     """Per-clone half of the gamma backward (see _gamma_prep)."""
     if leading_gate:
         R = R * relu_gate(z_true)
-    c = (conv3x3_packed(R * m1.astype(R.dtype), wT1, Co)
-         + conv3x3_packed(R * m3.astype(R.dtype), wT3, Co))
+    c = (_conv_rule(R * m1.astype(R.dtype), wT1, Co)
+         + _conv_rule(R * m3.astype(R.dtype), wT3, Co))
     return x * c
 
 
@@ -776,11 +790,15 @@ def _prep_inner_weights(params, spec, kwargs, P: int):
     g = float(kwargs.get("gamma", 0.25))
     stab = float(kwargs.get("stabilizer", 1e-6))
     gp, gn = _gmod_pos(g), _gmod_neg(g)
+    if INNER_WINDOW_CONV:
+        pk, pkT = pack_conv_weights_banded, pack_convT_weights_banded
+    else:
+        pk, pkT = pack_conv_weights, pack_convT_weights
     return {
-        "wz1": pack_conv_weights(w, P, gp),
-        "wz3": pack_conv_weights(w, P, gn),
-        "wT1": pack_convT_weights(w, P, gp),
-        "wT3": pack_convT_weights(w, P, gn),
+        "wz1": pk(w, P, gp),
+        "wz3": pk(w, P, gn),
+        "wT1": pkT(w, P, gp),
+        "wT3": pkT(w, P, gn),
         "biases": jnp.stack([pack_bias(b, P, gp), pack_bias(b, P),
                              pack_bias(b, P, gn)]),
         "gamma": g, "stab": stab, "Ci": Ci, "Co": w.shape[0], "Pi": P,

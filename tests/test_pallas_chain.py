@@ -404,3 +404,44 @@ def test_first_layer_mmtaps_flag_parity(cfg_name, rng, monkeypatch):
     h_vpu, h_mm = np.asarray(h_vpu), np.asarray(h_mm)
     atol = 1e-6 * np.abs(h_vpu).max()
     np.testing.assert_allclose(h_mm, h_vpu, rtol=1e-5, atol=atol)
+
+
+@pytest.mark.parametrize("cfg_name", ["gtzan3s", "gtzan6s"])
+def test_inner_window_conv_flag_parity(cfg_name, rng, monkeypatch):
+    """INNER_WINDOW_CONV swaps the inner-conv contraction for banded window
+    matmuls — heatmaps must agree to reassociation tolerance."""
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_3s_config, gtzan_6s_config,
+        fold_batchnorm)
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN, LRP_NAME_MAP_GTZAN_6S)
+
+    if cfg_name == "gtzan3s":
+        specs = build_layer_specs(gtzan_3s_config())
+        params = init_params(specs, jax.random.PRNGKey(0))
+        U = random_orthogonal(jax.random.PRNGKey(7), 64)
+        specs_proj = insert_projection(specs, 10, U, 4)
+        composite = class_composite(LRP_NAME_MAP_GTZAN, 4)
+        hw = (128, 128)
+    else:
+        specs = build_layer_specs(gtzan_6s_config())
+        params = init_params(specs, jax.random.PRNGKey(0))
+        specs, params = fold_batchnorm(specs, params)
+        U = random_orthogonal(jax.random.PRNGKey(7), 128)
+        specs_proj = insert_projection(specs, 33, U, 4, input_size=(128, 256))
+        composite = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
+        hw = (128, 256)
+    x = jnp.asarray(rng.standard_normal((1, 1) + hw).astype(np.float32))
+
+    monkeypatch.setattr(pc, "INNER_WINDOW_CONV", False)
+    h_tap, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                 class_idx=0, nhwc=True, fused=True)
+    monkeypatch.setattr(pc, "INNER_WINDOW_CONV", True)
+    h_win, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                 class_idx=0, nhwc=True, fused=True)
+    h_tap, h_win = np.asarray(h_tap), np.asarray(h_win)
+    atol = 1e-5 * np.abs(h_tap).max()
+    np.testing.assert_allclose(h_win, h_tap, rtol=1e-4, atol=atol)
