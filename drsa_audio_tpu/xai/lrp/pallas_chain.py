@@ -450,7 +450,9 @@ def stabilize(z, eps: float):
 # VPU-bandwidth-bound (byte count: ~2/3 of its passes are those multiplies),
 # so this projects ~2x on the 21 ms first-layer kernel — flag stays False
 # until the on-chip A/B (scripts/bench_first_layer.py) confirms it.
-FIRST_LAYER_MMTAPS = False
+# Env override (experiments only): DRSA_FIRST_LAYER_MMTAPS=1.
+import os as _os
+FIRST_LAYER_MMTAPS = _os.environ.get("DRSA_FIRST_LAYER_MMTAPS", "0") == "1"
 
 
 def pack_first_mtaps(wm: jnp.ndarray, P: int) -> jnp.ndarray:
@@ -505,7 +507,8 @@ def conv3x3_packed_vpu(x, wlanes, C: int):
 # padded MXU work at P=4 and one operand read per row tap. Flag stays False
 # until the on-chip A/B confirms it; prep and kernels read it at the same
 # trace, so a flip is always self-consistent.
-INNER_WINDOW_CONV = False
+# Env override (experiments only): DRSA_INNER_WINDOW_CONV=1.
+INNER_WINDOW_CONV = _os.environ.get("DRSA_INNER_WINDOW_CONV", "0") == "1"
 
 
 def _conv_rule(x, w, C):
