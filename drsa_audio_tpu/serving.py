@@ -40,28 +40,47 @@ def _prefetched(gen: Iterable, depth: int = 2) -> Iterator:
     lookahead (bounded queue), so host-side work inside the generator —
     decode, resample, stacking — overlaps whatever the consumer does with
     each item (here: TPU compute on the previous batch). Exceptions from the
-    generator re-raise at the consumer."""
+    generator re-raise at the consumer. If the consumer abandons the
+    iterator (break / close / GC), the worker notices via the stop event,
+    closes the source generator (releasing its decode pool), and exits —
+    no leaked threads or pinned waveform buffers."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     errs: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-        except BaseException as e:     # re-raised below, thread must not die silently
+                if not _put(item):
+                    break
+        except BaseException as e:     # re-raised below, must not die silently
             errs.append(e)
         finally:
-            q.put(sentinel)
+            if hasattr(gen, "close"):
+                gen.close()            # unwind the source's with-blocks
+            _put(sentinel)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errs:
-                raise errs[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errs:
+                    raise errs[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class ExplainerService:
@@ -108,8 +127,8 @@ class ExplainerService:
         # the request waveforms are single-use: donate so the 67 MB input
         # buffer frees as soon as the frontend consumes it (donation is a
         # no-op warning on the CPU test backend, so gate on TPU)
-        donate = (0,) if jax.default_backend() in ("tpu", "axon") else ()
-        self._run = jax.jit(run, donate_argnums=donate)
+        self._donates = jax.default_backend() in ("tpu", "axon")
+        self._run = jax.jit(run, donate_argnums=(0,) if self._donates else ())
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._wav_sharding = NamedSharding(mesh, P("data", None))
@@ -121,7 +140,14 @@ class ExplainerService:
         U = self.Us[class_name]
         onehot = jnp.zeros(self.n_classes, jnp.float32).at[
             self.mapper[class_name]].set(1.0)
-        wavs = jnp.asarray(wavs, jnp.float32)
+        if isinstance(wavs, jax.Array):
+            # the jit donates its first argument on TPU; an already-on-device
+            # caller array must not be invalidated under the caller — copy.
+            # (host numpy input — the normal serving path — transfers into a
+            # fresh buffer anyway, so donation there is free.)
+            wavs = jnp.array(wavs, jnp.float32, copy=self._donates)
+        else:
+            wavs = jnp.asarray(wavs, jnp.float32)
         if self._wav_sharding is not None:
             wavs = jax.device_put(wavs, self._wav_sharding)
             U = jax.device_put(U, self._rep_sharding)
@@ -213,15 +239,15 @@ class ExplainerService:
         def requests():
             import collections
             from concurrent.futures import ThreadPoolExecutor
-            # bounded in-flight window: enough to keep the pool busy without
-            # buffering a whole dataset of decoded waveforms in RAM
-            window = max(2 * batch_size, 2 * decode_threads)
+            # bounded in-flight decode count: enough to keep the pool busy
+            # without buffering a whole dataset of decoded waveforms in RAM
+            inflight = max(2 * batch_size, 2 * decode_threads)
             with ThreadPoolExecutor(decode_threads) as ex:
                 pending = collections.deque()
                 it = iter(paths)
                 for p in it:
                     pending.append(ex.submit(prepare, p))
-                    if len(pending) >= window:
+                    if len(pending) >= inflight:
                         break
                 batch = []
                 while pending:

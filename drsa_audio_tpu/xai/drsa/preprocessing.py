@@ -69,6 +69,10 @@ def make_extract_fn(specs, params, composite, layer_idx: int,
                              capture=(layer_name,), stop_after_capture=True)
         return captured[layer_name]
 
+    # so preprocess_data can reject a program built for a different layer
+    # or class encoding (a mismatch would silently yield wrong-layer maps)
+    fn.layer_idx = layer_idx
+    fn.one_hot_encoded = one_hot_encoded
     return fn
 
 
@@ -155,6 +159,15 @@ def preprocess_data(
     """
     input_batch = jnp.asarray(input_batch)
     b = input_batch.shape[0]
+
+    if extract_fn is not None:
+        want = (layer_idx, one_hot_encoded)
+        got = (getattr(extract_fn, "layer_idx", layer_idx),
+               getattr(extract_fn, "one_hot_encoded", one_hot_encoded))
+        if got != want:
+            raise ValueError(
+                f"extract_fn was built for layer/one_hot {got}, but "
+                f"preprocess_data was called with {want}")
 
     def _extract(xc):
         if extract_fn is not None:

@@ -111,13 +111,16 @@ class PixelFlipping:
             first_layer_rule=make_rule(*conf["first_layer"]),
         )
 
-    def _attr_programs(self, name: str, composite):
+    def _attr_programs(self, key, composite):
         """Per-configuration compiled attribution programs (the LRP walk is
         tracing code; eager it dispatches op-by-op). The single-class program
-        traces the class one-hot so the per-class chunk loop shares it."""
+        traces the class one-hot so the per-class chunk loop shares it.
+        ``key`` must capture everything that shapes the composite — the
+        configuration name AND the scaled_gamma mode (the same conf name
+        maps to a different composite under scaled_gamma)."""
         if not hasattr(self, "_attr_cache"):
             self._attr_cache = {}
-        ent = self._attr_cache.get(name)
+        ent = self._attr_cache.get(key)
         if ent is None:
             from drsa_audio_tpu.xai.lrp.engine import lrp, output_mask_all_classes
 
@@ -134,7 +137,7 @@ class PixelFlipping:
                 return R
 
             ent = (attr_single, attr_balanced)
-            self._attr_cache[name] = ent
+            self._attr_cache[key] = ent
         return ent
 
     def __call__(self, configuration_grid: List[Dict], scaled_gamma=False,
@@ -143,7 +146,8 @@ class PixelFlipping:
         for conf in configuration_grid:
             name = configuration_name(conf)
             composite = self._composite_for(conf, scaled_gamma)
-            attr_single, attr_balanced = self._attr_programs(name, composite)
+            attr_single, attr_balanced = self._attr_programs(
+                (name, bool(scaled_gamma)), composite)
             # balanced consecutive-class batch: ONE LRP pass attributes every
             # sample's own class (the reference loops per class for GPU
             # memory, pf.py:164-176). attr_batch_size chunks the pass per

@@ -248,13 +248,16 @@ def explain_lower(
     # clone's math is independent in the tiled path, so chunking matches the
     # one-shot tiled backward up to conv-accumulation reassociation at the
     # smaller batch (tested at rtol 2e-5).
-    # the fused chain supersedes clone_chunk when its plan exists: it bounds
-    # memory tighter than chunked tiling (per-instance VMEM walks; HBM holds
-    # only the batch-b activations), so callers that chunk for the 6 s
-    # model's sake (harness.py) get the fused path automatically now that
-    # the chain supports that family's topology
+    # the fused chain could supersede clone_chunk now that it supports the
+    # 6 s topology (it bounds memory tighter: per-instance VMEM walks, HBM
+    # holds only the batch-b activations) — but the 6 s kernels are
+    # validated in CPU interpret mode only so far, so the AUTO default
+    # still defers to clone_chunk callers until the on-chip A/B
+    # (scripts/bench_6s_lower.py, which passes fused=True explicitly) has
+    # run on real hardware. Flip this to `nhwc and not shared_denominators`
+    # once it has.
     if fused is None:
-        fused = nhwc and not shared_denominators
+        fused = nhwc and clone_chunk is None and not shared_denominators
     if fused:
         from drsa_audio_tpu.xai.lrp.pallas_chain import (
             plan_chain, fused_lower_conv_backward)

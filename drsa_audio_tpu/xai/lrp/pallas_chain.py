@@ -553,7 +553,7 @@ def _gamma_core(R, x, wz1, wz3, wT1, wT3, biases, Ci, Co, gamma, stab,
     return _gamma_apply(R, x, z_true, m1, m3, wT1, wT3, Co, leading_gate)
 
 
-def _chain_block_kernel(*refs, metas, pool_cfg, kloop):
+def _chain_block_kernel(*refs, metas, pool_cfg):
     """One grid step = one instance: for each conv of the block, TOP-DOWN,
     [relu gate] -> gamma conv rule; then optionally the (2,kw) maxpool
     backward of the pool BELOW this block (fine mask from the recorded
@@ -562,8 +562,8 @@ def _chain_block_kernel(*refs, metas, pool_cfg, kloop):
     refs: R, x_top..x_bottom (conv inputs, top-down), [apre if pool],
     then per conv (top-down) wz1, wz3, wT1, wT3, biases, then out.
     metas: per-conv dicts (Ci, Co, gamma, stab), top-down. pool_cfg:
-    None or (kw, C_pool). With kloop the K clones run sequentially so only
-    one map per level is live at a time (big-map blocks)."""
+    None or (kw, C_pool). All K clones walk together — the one big-map
+    case (block 1 of the 6s net) runs _first_block_deep_kernel instead."""
     m = len(metas)
     R_ref = refs[0]
     x_refs = refs[1:1 + m]
@@ -594,12 +594,7 @@ def _chain_block_kernel(*refs, metas, pool_cfg, kloop):
             R = pool_backward(R, mask, Cp, kw)
         return R
 
-    if kloop:
-        K = R_ref.shape[1]
-        for k in range(K):
-            out_ref[0, k] = walk(R_ref[0, k])
-    else:
-        out_ref[0] = walk(R_ref[0])
+    out_ref[0] = walk(R_ref[0])
 
 
 def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
@@ -650,7 +645,9 @@ def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
     mask = maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
     F = mask * relu_gate(a1) / stabilize(z0_ref[:], stab0)
     for k in range(K):
-        s0 = pool2x2_backward(R_ref[0, k], F, Ci)
+        # general dispatch: P >= 2 takes the measured pool2x2_backward path
+        # unchanged; P == 1 (first conv with Co in 65..128) group-repeats
+        s0 = pool_backward(R_ref[0, k], F, Ci, 2)
         if mm_taps:
             out_ref[0, k] = _first_tail_mm(s0, wl0_ref[:], Ci)
         else:
@@ -901,7 +898,7 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
             out_hgl = (xs[-1].shape[1], xs[-1].shape[2],
                        P * metas[-1]["Ci"])
         kern = functools.partial(_chain_block_kernel, metas=metas,
-                                 pool_cfg=pool_cfg, kloop=False)
+                                 pool_cfg=pool_cfg)
         R = pl.pallas_call(
             kern,
             grid=(b,),

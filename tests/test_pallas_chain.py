@@ -445,3 +445,43 @@ def test_inner_window_conv_flag_parity(cfg_name, rng, monkeypatch):
     h_tap, h_win = np.asarray(h_tap), np.asarray(h_win)
     atol = 1e-5 * np.abs(h_tap).max()
     np.testing.assert_allclose(h_win, h_tap, rtol=1e-4, atol=atol)
+
+
+def test_fused_chain_p1_first_block_matches_tiled(rng):
+    """A first conv with Co > 64 packs at P0=1 — the first-layer kernel must
+    route its pool backward through the general dispatch (group-repeat)
+    instead of asserting P >= 2 (review finding, round-3 continued)."""
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, VGGConfig
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import (
+        class_composite, subspace_heatmaps, _split_at_filter, _conv_section)
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.xai.lrp.pallas_chain import plan_chain
+
+    cfg = VGGConfig(n_filters=(100, 100, 100), n_dense=32,
+                    pool_kernels=((2, 2),) * 3, dropout=0.0,
+                    input_size=(32, 32), n_classes=4, conv_bn=False,
+                    dense_bn=False, block_depth=1)
+    specs = build_layer_specs(cfg)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    name_map = [("features.0", ("wsquare", {"stabilizer": 1e-7})),
+                ("features.3", ("gamma", {"gamma": 0.3, "stabilizer": 1e-7})),
+                ("features.6", ("gamma", {"gamma": 0.3, "stabilizer": 1e-7}))]
+    for s in specs:
+        if s.kind == "linear":
+            name_map.append((s.name, ("epsilon", {"epsilon": 1e-7})))
+    composite = class_composite(name_map, 2)
+    U = random_orthogonal(jax.random.PRNGKey(7), 100)
+    specs_proj = insert_projection(specs, 7, U, 2, input_size=(32, 32))
+    lower, _ = _split_at_filter(specs_proj)
+    conv_sec, _ = _conv_section(lower)
+    plan = plan_chain(conv_sec, params, composite)
+    assert plan is not None and plan["blocks"][0]["P"] == 1
+    x = jnp.asarray(rng.standard_normal((2, 1, 32, 32)).astype(np.float32))
+    h_ref, _ = subspace_heatmaps(specs_proj, params, x, composite, 2,
+                                 class_idx=0, nhwc=True, fused=False)
+    h_fused, _ = subspace_heatmaps(specs_proj, params, x, composite, 2,
+                                   class_idx=0, nhwc=True, fused=True)
+    h_ref, h_fused = np.asarray(h_ref), np.asarray(h_fused)
+    atol = 1e-5 * np.abs(h_ref).max()
+    np.testing.assert_allclose(h_fused, h_ref, rtol=1e-4, atol=atol)

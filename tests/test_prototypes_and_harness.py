@@ -184,3 +184,26 @@ def test_heatmap_generator_attr_batch_size_matches(toy_model, rng):
     with pytest.raises(ValueError):
         gens[1].generate_subspace_heatmaps(
             batch, flip_all_classes=True, attr_batch_size=2)
+
+
+def test_pf_sweep_scaled_gamma_cache_not_stale(toy_model, rng):
+    """A scaled-gamma sweep reusing a PixelFlipping instance after a plain
+    sweep must NOT reuse the plain composite's compiled attribution
+    (review finding: the program cache was keyed by conf name only)."""
+    specs, params = toy_model
+    x = rng.standard_normal((4, 1, 64, 64)).astype(np.float32)
+    grid = [{"convolutional": ("gamma", 0.4), "dense": ("epsilon", 1e-7),
+             "first_layer": ("wsquare",)}]
+
+    pf_reused = PixelFlipping(specs, params, x, perturbation_size=16,
+                              num_classes=2)
+    pf_reused(grid)                                 # plain sweep first
+    aupc_reused, *_ = pf_reused(grid, scaled_gamma=True)
+
+    pf_fresh = PixelFlipping(specs, params, x, perturbation_size=16,
+                             num_classes=2)
+    aupc_fresh, *_ = pf_fresh(grid, scaled_gamma=True)
+
+    for k in aupc_fresh:
+        np.testing.assert_array_equal(np.asarray(aupc_reused[k]),
+                                      np.asarray(aupc_fresh[k]))

@@ -173,3 +173,42 @@ def test_service_uses_mesh(rng):
     ref = svc_ref.explain(wavs, "class1")
     np.testing.assert_allclose(out["standard_heatmaps"],
                                ref["standard_heatmaps"], rtol=1e-4, atol=1e-7)
+
+
+def test_prefetched_abandoned_iterator_stops_worker():
+    """Abandoning a _prefetched iterator must stop the background worker and
+    close the source generator (releasing its resources)."""
+    from drsa_audio_tpu.serving import _prefetched
+    import time
+    closed = []
+
+    def src():
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = _prefetched(src(), depth=2)
+    assert next(it) == 0
+    it.close()                        # consumer abandons the stream
+    for _ in range(50):               # worker notices within the put timeout
+        if closed:
+            break
+        time.sleep(0.1)
+    assert closed, "source generator was not closed after abandonment"
+
+
+def test_extract_fn_mismatch_raises(rng):
+    from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, toy_config
+    from drsa_audio_tpu.xai.lrp.engine import Composite
+    from drsa_audio_tpu.xai.drsa.preprocessing import make_extract_fn, preprocess_data
+    from drsa_audio_tpu.utils.constants import LRP_NAME_MAP_TOY
+    specs = build_layer_specs(toy_config())
+    params = init_params(specs, jax.random.PRNGKey(0))
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    fn = make_extract_fn(specs, params, composite, 7)
+    x = rng.standard_normal((2, 1, 64, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="built for layer"):
+        preprocess_data(specs, params, x, composite, 10, 0,
+                        num_locations=4, extract_fn=fn)
