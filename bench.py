@@ -278,7 +278,44 @@ def cpu_reference_clips_per_sec(specs, params):
     return CPU_BATCH * CPU_ITERS / dt
 
 
+def wait_for_tpu():
+    """Block (bounded) until the TPU backend answers a trivial program.
+
+    The axon tunnel occasionally drops for stretches; a bench run launched
+    into an outage would otherwise die on the first device op. Probe in a
+    SUBPROCESS (a failed backend init poisons the importing process's jax
+    cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 1800; 0
+    disables). If the budget runs out, fall through and let the real run
+    produce the honest error."""
+    import subprocess
+    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    if budget <= 0:
+        return
+    deadline = time.time() + budget
+    probe = ("import jax, jax.numpy as jnp; "
+             "print((jnp.ones((4,4)) @ jnp.ones((4,4))).sum())")
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench: TPU probe still failing after wait budget; "
+                  "proceeding anyway", file=sys.stderr)
+            return
+        if first:
+            print("bench: TPU backend unavailable, waiting (bounded by "
+                  "BENCH_TPU_WAIT_S)...", file=sys.stderr)
+            first = False
+        time.sleep(60)
+
+
 def main():
+    wait_for_tpu()
     cfg, specs, params = build_model()
     cpu_rate = cpu_reference_clips_per_sec(specs, params)
     tpu_rate, extras = tpu_clips_per_sec(specs, params)
