@@ -252,12 +252,14 @@ def test_general_pool_backward_matches_vjp(C, kw, rng):
     np.testing.assert_array_equal(got_nchw, want)
 
 
-@pytest.mark.parametrize("layer_idx,d", [(33, 128), (19, 100)])
+@pytest.mark.parametrize("layer_idx,d", [(33, 128), (26, 128), (19, 100)])
 def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, rng):
     """The generalized chain on the 6s family: block_depth=2, (2,4) block-1
     pool, C in {64, 100, 128} (P=1 levels), deep first block — vs the XLA
     tiled path (reference workload: getdrsadata.py:72-108 model; layer 33 =
-    the deepest DRSA layer, layer 19 = the P=1 C=100 head without pool)."""
+    the deepest DRSA layer, 26 = the mid-depth C=128 layer (one fewer
+    block below the projection), 19 = the P=1 C=100 head without pool —
+    all three extraction layers of DRSA_LAYERS_GTZAN_6S)."""
     from drsa_audio_tpu.models.vgg import (
         build_layer_specs, init_params, gtzan_6s_config, fold_batchnorm)
     from drsa_audio_tpu.models.projection import insert_projection
