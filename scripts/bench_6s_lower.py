@@ -70,12 +70,20 @@ def main():
     }
     outs = {}
     for name, fn in variants.items():
-        out = fn(acts, R_f)
-        jax.block_until_ready(out)            # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
+        # a variant that fails to lower (e.g. Mosaic on an untested 6s plan)
+        # must not take the other variant's number down with it
+        try:
             out = fn(acts, R_f)
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)        # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fn(acts, R_f)
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error":
+                              f"{type(e).__name__}: {str(e)[:500]}"}),
+                  flush=True)
+            continue
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         outs[name] = np.asarray(out)
         rec = {"variant": name, "ms_per_iter": round(ms, 2),

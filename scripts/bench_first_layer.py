@@ -137,13 +137,21 @@ def main():
     }
     ref = None
     for name, fn in runs.items():
-        jf = jax.jit(fn)
-        out = jf()                                        # compile + warm
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = jf()
-        jax.block_until_ready(out)
+        # an experimental kernel that fails to lower must not kill the
+        # production number (nor vice versa)
+        try:
+            jf = jax.jit(fn)
+            out = jf()                                    # compile + warm
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = jf()
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error":
+                              f"{type(e).__name__}: {str(e)[:500]}"}),
+                  flush=True)
+            continue
         ms = (time.perf_counter() - t0) / args.iters * 1e3
         o = np.asarray(out)
         if ref is None:
