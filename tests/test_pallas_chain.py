@@ -252,8 +252,9 @@ def test_general_pool_backward_matches_vjp(C, kw, rng):
     np.testing.assert_array_equal(got_nchw, want)
 
 
-@pytest.mark.parametrize("layer_idx,d", [(33, 128), (26, 128), (19, 100)])
-def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, rng):
+@pytest.mark.parametrize("layer_idx,d,batch",
+                         [(33, 128, 1), (26, 128, 1), (19, 100, 2)])
+def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, batch, rng):
     """The generalized chain on the 6s family: block_depth=2, (2,4) block-1
     pool, C in {64, 100, 128} (P=1 levels), deep first block — vs the XLA
     tiled path (reference workload: getdrsadata.py:72-108 model; layer 33 =
@@ -274,7 +275,8 @@ def test_fused_chain_gtzan6s_matches_tiled(layer_idx, d, rng):
     specs_proj = insert_projection(specs, layer_idx, U, 4,
                                    input_size=(128, 256))
     composite = class_composite(LRP_NAME_MAP_GTZAN_6S, 4)
-    x = jnp.asarray(rng.standard_normal((1, 1, 128, 256)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(
+        (batch, 1, 128, 256)).astype(np.float32))
     h_ref, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
                                  class_idx=0, nhwc=True, fused=False)
     h_fused, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
