@@ -50,6 +50,21 @@ def pad_to_multiple(x: np.ndarray, multiple: int):
     return x, n
 
 
+def _pad_batch_jnp(x: jnp.ndarray, multiple: int):
+    """jnp variant of pad_to_multiple (no host round-trip for device-resident
+    inputs); returns (padded, pad_rows). shard_map requires the 'data' axis
+    to divide the mesh evenly — the wrappers below zero-pad a ragged last
+    batch (e.g. a truncated final extraction chunk) and slice the pad rows
+    off the output, so they accept any batch size like the pre-shard_map
+    GSPMD versions did."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        x = jnp.concatenate(
+            [x, jnp.zeros((rem,) + x.shape[1:], x.dtype)], axis=0)
+    return x, rem
+
+
 def sharded_heatmaps(specs, params, composite, mesh: Mesh, class_idx: int):
     """Build a mesh-sharded standard-heatmap program: input batch sharded on
     'data', params replicated; returns the jitted fn.
@@ -73,7 +88,13 @@ def sharded_heatmaps(specs, params, composite, mesh: Mesh, class_idx: int):
     sharded = jax.jit(jax.shard_map(
         run, mesh=mesh, in_specs=P("data", None, None, None),
         out_specs=P("data", None, None, None), check_vma=False))
-    return lambda x: sharded(jax.device_put(jnp.asarray(x), in_sharding))
+
+    def call(x):
+        x, pad = _pad_batch_jnp(jnp.asarray(x), mesh.size)
+        out = sharded(jax.device_put(x, in_sharding))
+        return out[:-pad] if pad else out
+
+    return call
 
 
 def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
@@ -103,7 +124,13 @@ def sharded_explain_pipeline(specs_proj, params, composite, mesh: Mesh,
     sharded = jax.jit(jax.shard_map(
         run, mesh=mesh, in_specs=in_spec,
         out_specs=P("data", None, None, None), check_vma=False))
-    return lambda x: sharded(jax.device_put(jnp.asarray(x), in_sharding))
+
+    def call(x):
+        x, pad = _pad_batch_jnp(jnp.asarray(x), mesh.size)
+        out = sharded(jax.device_put(x, in_sharding))
+        return out[:-pad] if pad else out
+
+    return call
 
 
 def sharded_drsa_extraction(specs, params, composite, mesh: Mesh,
@@ -129,9 +156,21 @@ def sharded_drsa_extraction(specs, params, composite, mesh: Mesh,
 
     def call(x, key):
         x = jnp.asarray(x)
-        clip_keys = jax.random.split(key, x.shape[0])
-        return sharded(jax.device_put(x, in_sharding),
-                       jax.device_put(clip_keys, key_sharding))
+        n = x.shape[0]
+        # keys are split for the ORIGINAL batch (bit-equality with the
+        # single-device run), then zero-padded alongside the data rows
+        clip_keys = jax.random.split(key, n)
+        x, pad = _pad_batch_jnp(x, mesh.size)
+        if pad:
+            clip_keys = jnp.concatenate(
+                [clip_keys,
+                 jnp.zeros((pad,) + clip_keys.shape[1:], clip_keys.dtype)])
+        act, ctx = sharded(jax.device_put(x, in_sharding),
+                           jax.device_put(clip_keys, key_sharding))
+        if pad:
+            keep = n * num_locations if num_locations else n
+            act, ctx = act[:keep], ctx[:keep]
+        return act, ctx
 
     return call
 

@@ -69,10 +69,15 @@ def make_extract_fn(specs, params, composite, layer_idx: int,
                              capture=(layer_name,), stop_after_capture=True)
         return captured[layer_name]
 
-    # so preprocess_data can reject a program built for a different layer
-    # or class encoding (a mismatch would silently yield wrong-layer maps)
+    # so preprocess_data can reject a program built for a different layer,
+    # class encoding, composite, or model (a mismatch would silently yield
+    # wrong-layer maps — or maps attributed under the wrong rule set, e.g. an
+    # extract_fn built before a rescale_gamma composite swap)
     fn.layer_idx = layer_idx
     fn.one_hot_encoded = one_hot_encoded
+    fn.composite_id = id(composite)
+    fn.specs_id = id(specs)
+    fn.params_id = id(params)
     return fn
 
 
@@ -161,13 +166,18 @@ def preprocess_data(
     b = input_batch.shape[0]
 
     if extract_fn is not None:
-        want = (layer_idx, one_hot_encoded)
+        want = (layer_idx, one_hot_encoded,
+                id(composite), id(specs), id(params))
         got = (getattr(extract_fn, "layer_idx", layer_idx),
-               getattr(extract_fn, "one_hot_encoded", one_hot_encoded))
+               getattr(extract_fn, "one_hot_encoded", one_hot_encoded),
+               getattr(extract_fn, "composite_id", id(composite)),
+               getattr(extract_fn, "specs_id", id(specs)),
+               getattr(extract_fn, "params_id", id(params)))
         if got != want:
             raise ValueError(
-                f"extract_fn was built for layer/one_hot {got}, but "
-                f"preprocess_data was called with {want}")
+                "extract_fn was built for a different "
+                "(layer, one_hot, composite, specs, params) than "
+                f"preprocess_data was called with: {got} != {want}")
 
     def _extract(xc):
         if extract_fn is not None:

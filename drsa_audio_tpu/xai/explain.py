@@ -18,6 +18,7 @@ TPU-first. Two equivalent paths are provided:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Sequence
 
@@ -216,6 +217,11 @@ def explain_lower(
     Returns heatmaps [b, K+1, h, w] (index 0 = standard)."""
     if nhwc and shared_denominators:
         raise ValueError("shared_denominators expects NCHW activations")
+    if fused and not nhwc:
+        # the fused chain consumes NHWC-recorded activations; NCHW acts would
+        # pack transposed data and return finite-but-wrong heatmaps
+        raise ValueError("fused=True requires nhwc=True (activations must be "
+                         "recorded NHWC by explain_forward_upper)")
     lower, _ = _split_at_filter(specs_proj)
     K = num_concepts
     b = R_filter.shape[0]
@@ -256,13 +262,22 @@ def explain_lower(
     # (scripts/bench_6s_lower.py, which passes fused=True explicitly) has
     # run on real hardware. Flip this to `nhwc and not shared_denominators`
     # once it has.
+    fused_explicit = fused is True
     if fused is None:
         fused = nhwc and clone_chunk is None and not shared_denominators
     if fused:
         from drsa_audio_tpu.xai.lrp.pallas_chain import (
             plan_chain, fused_lower_conv_backward)
         conv_sec, proj_spec = _conv_section(lower)
-        plan = plan_chain(conv_sec, params, composite)
+        # acts_lower[0] is the NHWC model input: [b, H, W, 1]
+        plan = plan_chain(conv_sec, params, composite,
+                          fine_hw=acts_lower[0].shape[1:3])
+        if plan is None and fused_explicit:
+            # an explicit fused=True must not silently measure/ship the XLA
+            # path (an A/B or a caller that *requires* the kernel would lie)
+            raise ValueError("fused=True requested but the conv section / "
+                             "input size is outside the fused chain's "
+                             "supported topology (see plan_chain)")
     else:
         plan = None
     if plan is not None:
@@ -366,6 +381,8 @@ def _lrp_segment_backward_shared(specs, params, acts, R, K, composite):
         elif spec.kind == "relu":
             # match jnp.maximum's vjp exactly (ties at 0 get gradient 0.5)
             # so this path stays bit-equal to the tiled `_lrp_segment_backward`
+            # (tie semantics coupled with pallas_chain.relu_gate — see its
+            # docstring; change one ⇒ change all)
             gate = jnp.where(a_in > 0, 1.0, jnp.where(a_in == 0, 0.5, 0.0))
             R = _mul_small(R, gate.astype(R.dtype), K)
         elif spec.kind == "flatten":
@@ -466,8 +483,13 @@ def sort_subspaces(subspace_heatmaps: np.ndarray):
 # instead of one per generator — and the explain walk runs jitted instead of
 # dispatching op-by-op (the same eager-walk cost that dominated the v2
 # extraction stage). Values hold strong refs to specs/params so the id-based
-# keys can't be recycled by the GC.
-_PROGRAM_CACHE: dict = {}
+# keys can't be recycled by the GC — which also pins each entry's parameter
+# buffers, so the cache is LRU-bounded: a loop sweeping many checkpoints
+# (new params identity per iteration) must not accumulate device memory for
+# the process lifetime. 16 entries cover the eval harness's worst case (one
+# program per model/layer/flag combination in flight).
+_PROGRAM_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_PROGRAM_CACHE_MAX = 16
 
 
 def _heatmap_program(specs, params, name_map_repr, composite, num_concepts,
@@ -478,6 +500,7 @@ def _heatmap_program(specs, params, name_map_repr, composite, num_concepts,
            clone_chunk, num_classes)
     ent = _PROGRAM_CACHE.get(key)
     if ent is not None:
+        _PROGRAM_CACHE.move_to_end(key)
         return ent[0]
 
     if class_mode == "single":
@@ -505,6 +528,8 @@ def _heatmap_program(specs, params, name_map_repr, composite, num_concepts,
             return heat
 
     _PROGRAM_CACHE[key] = (f, specs, params)
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.popitem(last=False)
     return f
 
 

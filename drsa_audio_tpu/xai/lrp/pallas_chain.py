@@ -226,7 +226,13 @@ def conv3x3_window_packed(x, wband, C: int):
 
 
 def relu_gate(a):
-    """jnp.maximum vjp gate: 1 where a>0, 0.5 at exact zeros, else 0."""
+    """jnp.maximum vjp gate: 1 where a>0, 0.5 at exact zeros, else 0.
+
+    TIE SEMANTICS — one of three coupled sites (the equality tests across
+    the fused / tiled / shared paths depend on all of them agreeing): this
+    gate, the inline gate in explain._lrp_segment_backward_shared, and the
+    first-argmax pool rule (maxpool_fine_mask here /
+    explain.maxpool_route_mask). Change one ⇒ change all."""
     return jnp.where(a > 0, 1.0, jnp.where(a == 0, 0.5, 0.0)).astype(a.dtype)
 
 
@@ -455,6 +461,14 @@ import os as _os
 FIRST_LAYER_MMTAPS = _os.environ.get("DRSA_FIRST_LAYER_MMTAPS", "0") == "1"
 
 
+def _first_layer_mmtaps() -> bool:
+    """Flag read at PLAN time: the env var wins when set (so exporting it
+    after import still takes effect — module constants freeze the import-
+    time environment); tests monkeypatch the module constant."""
+    v = _os.environ.get("DRSA_FIRST_LAYER_MMTAPS")
+    return v == "1" if v is not None else FIRST_LAYER_MMTAPS
+
+
 def pack_first_mtaps(wm: jnp.ndarray, P: int) -> jnp.ndarray:
     """[Co, 1, 3, 3] rule weights -> [3, 3, P*Co, P] per-tap reduce matrices:
     mtaps[dy, dx] = blockdiag over P of the column wm[:, 0, 2-dy, 2-dx]
@@ -511,8 +525,16 @@ def conv3x3_packed_vpu(x, wlanes, C: int):
 INNER_WINDOW_CONV = _os.environ.get("DRSA_INNER_WINDOW_CONV", "0") == "1"
 
 
+def _inner_window_conv() -> bool:
+    """Flag read at trace time (see _first_layer_mmtaps: env wins when set).
+    Prep and kernel body read it within the same jit trace, so a flip stays
+    self-consistent."""
+    v = _os.environ.get("DRSA_INNER_WINDOW_CONV")
+    return v == "1" if v is not None else INNER_WINDOW_CONV
+
+
 def _conv_rule(x, w, C):
-    if INNER_WINDOW_CONV:
+    if _inner_window_conv():
         return conv3x3_window_packed(x, w, C)
     return conv3x3_packed(x, w, C)
 
@@ -685,10 +707,14 @@ def _pow2_floor(v: int) -> int:
     return p
 
 
-def plan_chain(conv_section: Sequence, params: dict, composite):
+def plan_chain(conv_section: Sequence, params: dict, composite,
+               fine_hw: tuple | None = None):
     """Validate the conv-section against the supported topology and collect
     per-block metadata. Returns None when unsupported (caller falls back to
-    the XLA path).
+    the XLA path). ``fine_hw`` (the model-input H, W) additionally validates
+    the SPATIAL plan — every packed width must divide the kernel's packing
+    factor and every pool level its kernel — so off-topology input sizes
+    fall back cleanly instead of assert-failing mid-trace in pack().
 
     Supported topology (read bottom-up): conv(wsquare/flat, Cin=1) relu
     [conv(gamma) relu]* maxpool(2,2|2,4), then any number of
@@ -732,6 +758,11 @@ def plan_chain(conv_section: Sequence, params: dict, composite):
         return None
     if params[specs[0].name]["w"].shape[1] != 1:
         return None
+    # the in-kernel convs hard-code 3x3 stride-1 SAME taps
+    for blk in blocks:
+        for ci in blk["convs"]:
+            if params[specs[ci].name]["w"].shape[2:] != (3, 3):
+                return None
     # block 0: at most one gamma conv above the first conv (deep kernel)
     if len(blocks[0]["convs"]) > 2:
         return None
@@ -778,6 +809,29 @@ def plan_chain(conv_section: Sequence, params: dict, composite):
     # the m0 == 1 fast path (F-trick kernel) supports kw == 2 only
     if len(blocks[0]["convs"]) == 1 and blocks[0]["pool_above"][2] != 2:
         return None
+    # ---- spatial plan (when the input size is known): convs are SAME
+    # stride-1 so each block holds one (H, W) level; pools divide it.
+    # Kernel i (>= 1) packs level i at P_i and, for i >= 2, also the fine
+    # pool maps of level i-1; the first kernel packs level 0 and the
+    # incoming coarse R of level 1 at P_0.
+    if fine_hw is not None:
+        H, W = int(fine_hw[0]), int(fine_hw[1])
+        dims = []
+        for blk in blocks:
+            dims.append((H, W))
+            if blk["pool_above"] is not None:
+                _, kh, kw = blk["pool_above"]
+                if H % kh or W % kw:
+                    return None
+                H //= kh
+                W //= kw
+        for i, blk in enumerate(blocks):
+            if dims[i][1] % blk["P"]:
+                return None
+            if i >= 2 and dims[i - 1][1] % blk["P"]:
+                return None
+        if dims[1][1] % blocks[0]["P"]:
+            return None
     return {"specs": specs, "blocks": blocks, "first_rule": first_rule}
 
 
@@ -790,7 +844,7 @@ def _prep_inner_weights(params, spec, kwargs, P: int):
     g = float(kwargs.get("gamma", 0.25))
     stab = float(kwargs.get("stabilizer", 1e-6))
     gp, gn = _gmod_pos(g), _gmod_neg(g)
-    if INNER_WINDOW_CONV:
+    if _inner_window_conv():
         pk, pkT = pack_conv_weights_banded, pack_convT_weights_banded
     else:
         pk, pkT = pack_conv_weights, pack_convT_weights
@@ -915,7 +969,7 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
     a1p = pack(a1, P0)                           # [b, HF, GF, P0*Co0]
     HF, GF = a1p.shape[1], a1p.shape[2]
     m0 = len(blocks[0]["convs"])
-    mm = FIRST_LAYER_MMTAPS
+    mm = _first_layer_mmtaps()
     wl_arg = fw["mtaps"] if mm else fw["wl0"]    # tail weights (see flag)
     if m0 == 1:
         # measured 3s/toy fast path: pool route, relu gate and first-layer

@@ -63,6 +63,49 @@ def test_fast_path_equals_repeated_path(model_with_projection, rng):
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), rtol=1e-3, atol=1e-6)
 
 
+def test_fused_layout_guards(model_with_projection, rng):
+    """fused=True must reject NCHW activations (the chain packs NHWC; NCHW
+    would produce finite-but-wrong heatmaps), and an EXPLICIT fused=True on
+    an unplannable section must raise rather than silently measure the XLA
+    fallback."""
+    _, specs_proj, params, composite, _, K = model_with_projection
+    x = jnp.asarray(rng.standard_normal((2, 1, 64, 64)).astype(np.float32))
+    with pytest.raises(ValueError, match="requires nhwc"):
+        subspace_heatmaps(specs_proj, params, x, composite, K, class_idx=0,
+                          nhwc=False, fused=True)
+    # epsilon on the first conv makes the section unplannable
+    bad_map = [("features.0", ("epsilon", {"epsilon": 1e-6}))] + [
+        (n, r) for n, r in LRP_NAME_MAP_TOY if n != "features.0"]
+    bad_composite = class_composite(bad_map, K)
+    with pytest.raises(ValueError, match="supported topology"):
+        subspace_heatmaps(specs_proj, params, x, bad_composite, K,
+                          class_idx=0, nhwc=True, fused=True)
+    # auto mode (fused=None) falls back silently on the same section
+    heat, _ = subspace_heatmaps(specs_proj, params, x, bad_composite, K,
+                                class_idx=0, nhwc=True)
+    assert np.all(np.isfinite(np.asarray(heat)))
+
+
+def test_heatmap_program_cache_is_bounded(model_with_projection):
+    """The shared program cache pins specs/params (device buffers) per
+    entry; it must evict LRU instead of growing for the process lifetime
+    (checkpoint-sweep loops create a fresh params identity per iteration)."""
+    from drsa_audio_tpu.xai import explain as ex
+    assert len(ex._PROGRAM_CACHE) <= ex._PROGRAM_CACHE_MAX
+    spare = ex._PROGRAM_CACHE_MAX + 3
+    keys_before = list(ex._PROGRAM_CACHE)
+    for i in range(spare):
+        # distinct layer_idx values fake distinct models cheaply; the
+        # program is built lazily at call time, so no compile happens here
+        ex._heatmap_program((), {}, "m", None, 4, 1000 + i, (64, 64),
+                            "single", False, False, None, None)
+    assert len(ex._PROGRAM_CACHE) == ex._PROGRAM_CACHE_MAX
+    # stale test entries must not linger for later tests
+    for k in list(ex._PROGRAM_CACHE):
+        if k not in keys_before:
+            del ex._PROGRAM_CACHE[k]
+
+
 def test_subspace_heatmaps_sum_to_standard(model_with_projection, rng):
     """Relevance at the filter layer splits exactly across the K subspaces, so
     the K subspace heatmaps sum to the standard heatmap."""

@@ -219,6 +219,18 @@ def test_plan_chain_rejects_unsupported():
         **params[conv_sec[0].name],
         "w": jnp.concatenate([w0, w0, w0], axis=1)}
     assert plan_chain(conv_sec, params_mc, good) is None
+    # spatial plan: input sizes whose widths don't divide the packing
+    # factors / pool kernels must fall back cleanly (not assert in pack())
+    assert plan_chain(conv_sec, params, good, fine_hw=(64, 64)) is not None
+    assert plan_chain(conv_sec, params, good, fine_hw=(64, 60)) is None
+    assert plan_chain(conv_sec, params, good, fine_hw=(63, 64)) is None
+    # non-3x3 conv taps: the in-kernel convs hard-code 3x3 stencils
+    params_5x5 = dict(params)
+    w1_name = next(s for s in conv_sec[1:] if s.kind == "conv").name
+    w1 = params[w1_name]["w"]
+    params_5x5[w1_name] = {**params[w1_name],
+                           "w": jnp.zeros(w1.shape[:2] + (5, 5), w1.dtype)}
+    assert plan_chain(conv_sec, params_5x5, good) is None
 
 
 @pytest.mark.parametrize("C,kw", [(100, 2), (128, 2), (64, 4), (64, 2),

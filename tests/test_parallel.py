@@ -101,6 +101,38 @@ def test_sharded_train_step_matches_single(toy_model, rng):
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_wrappers_accept_uneven_batches(toy_model, rng):
+    """Batches that don't divide the mesh (e.g. a truncated final chunk)
+    must work: the wrappers zero-pad to the mesh size internally and slice
+    the pad rows back off (shard_map itself requires even division — the
+    pre-shard_map GSPMD versions accepted any batch, so this is guarded)."""
+    from drsa_audio_tpu.parallel.sharding import sharded_drsa_extraction
+    from drsa_audio_tpu.xai.drsa.preprocessing import preprocess_data
+    specs, params = toy_model
+    composite = Composite.from_list(LRP_NAME_MAP_TOY)
+    mesh = get_mesh()
+    x = rng.standard_normal((10, 1, 64, 64)).astype(np.float32)
+
+    fn = sharded_heatmaps(specs, params, composite, mesh, class_idx=0)
+    R_sharded = np.asarray(fn(x))
+    R_single = np.asarray(compute_relevances(
+        specs, params, jnp.asarray(x), composite, class_idx=0))
+    assert R_sharded.shape[0] == 10
+    np.testing.assert_allclose(R_sharded, R_single, rtol=1e-4, atol=1e-6)
+
+    fx = sharded_drsa_extraction(specs, params, composite, mesh,
+                                 layer_idx=10, class_idx=0, num_locations=6)
+    key = jax.random.PRNGKey(0)
+    act_s, ctx_s = fx(x, key)
+    act, ctx = preprocess_data(specs, params, jnp.asarray(x), composite,
+                               10, 0, num_locations=6, key=key)
+    assert act_s.shape == act.shape
+    np.testing.assert_allclose(np.asarray(act_s), np.asarray(act),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctx_s), np.asarray(ctx),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pad_to_multiple():
     x = np.ones((5, 3), np.float32)
     padded, n = pad_to_multiple(x, 8)

@@ -209,6 +209,13 @@ def test_extract_fn_mismatch_raises(rng):
     composite = Composite.from_list(LRP_NAME_MAP_TOY)
     fn = make_extract_fn(specs, params, composite, 7)
     x = rng.standard_normal((2, 1, 64, 64)).astype(np.float32)
-    with pytest.raises(ValueError, match="built for layer"):
+    with pytest.raises(ValueError, match="was built for"):
         preprocess_data(specs, params, x, composite, 10, 0,
+                        num_locations=4, extract_fn=fn)
+    # same layer but a different composite object: the program embeds the
+    # composite's rules, so identity must match too (e.g. a rescale_gamma
+    # swap after the extract_fn was built)
+    composite2 = Composite.from_list(LRP_NAME_MAP_TOY)
+    with pytest.raises(ValueError, match="was built for"):
+        preprocess_data(specs, params, x, composite2, 7, 0,
                         num_locations=4, extract_fn=fn)
