@@ -11,6 +11,40 @@ import pytest
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
+def test_wait_for_tpu(monkeypatch):
+    """The pre-bench TPU probe: budget 0 skips entirely; a dead backend
+    burns the budget then proceeds (honest failure downstream); a live
+    backend returns immediately."""
+    sys.path.insert(0, ROOT)
+    import bench
+    import types
+
+    calls = []
+
+    def fake_run(args, capture_output=True, timeout=None):
+        calls.append(1)
+        return types.SimpleNamespace(returncode=fake_run.rc)
+
+    # wait_for_tpu imports subprocess locally, so patch the real module
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    monkeypatch.setenv("BENCH_TPU_WAIT_S", "0")
+    fake_run.rc = 1
+    bench.wait_for_tpu()
+    assert calls == []                       # disabled: no probe at all
+
+    monkeypatch.setenv("BENCH_TPU_WAIT_S", "0.01")
+    bench.wait_for_tpu()                     # dead backend: probes, times out
+    assert len(calls) >= 1
+
+    calls.clear()
+    fake_run.rc = 0
+    monkeypatch.setenv("BENCH_TPU_WAIT_S", "600")
+    bench.wait_for_tpu()                     # live backend: first probe wins
+    assert calls == [1]
+
+
 def test_bench_functions_tiny():
     sys.path.insert(0, ROOT)
     sys.path.insert(0, os.path.join(ROOT, "tests"))
