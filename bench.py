@@ -380,7 +380,13 @@ def main():
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }
     record.update(extras)
-    save_last_bench(record)
+    # kernel-strategy experiment runs (DRSA_* env flags) must not replace
+    # the persisted production record; BENCH_PERSIST=0 also lets a caller
+    # opt out explicitly
+    flags = {k: v for k, v in os.environ.items()
+             if k.startswith("DRSA_") and v == "1"}
+    if not flags and os.environ.get("BENCH_PERSIST", "1") != "0":
+        save_last_bench(record)
     print(json.dumps(record))
 
 

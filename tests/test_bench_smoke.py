@@ -74,6 +74,46 @@ def test_last_bench_stale_fallback(monkeypatch, tmp_path):
     assert bench.load_last_bench("outage") is None
 
 
+def test_main_persist_guard(monkeypatch, tmp_path, capsys):
+    """main() persists the record only for production runs: kernel-strategy
+    experiment runs (DRSA_* env flags) and BENCH_PERSIST=0 must not replace
+    the production last_bench.json."""
+    sys.path.insert(0, ROOT)
+    import bench
+
+    path = tmp_path / "last_bench.json"
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH", str(path))
+    monkeypatch.setattr(bench, "wait_for_tpu", lambda: True)
+    monkeypatch.setattr(bench, "build_model", lambda: (None, None, None))
+    monkeypatch.setattr(bench, "cpu_reference_clips_per_sec",
+                        lambda *a: 10.0)
+    monkeypatch.setattr(bench, "tpu_clips_per_sec",
+                        lambda *a: (1000.0, {"mfu": 0.1}))
+
+    monkeypatch.setenv("DRSA_FIRST_LAYER_MMTAPS", "1")
+    bench.main()
+    out = json.loads(capsys.readouterr().out)
+    assert out["value"] == 1000.0
+    assert not path.exists()                 # experiment run: not persisted
+
+    monkeypatch.delenv("DRSA_FIRST_LAYER_MMTAPS")
+    monkeypatch.setenv("BENCH_PERSIST", "0")
+    bench.main()
+    assert not path.exists()                 # explicit opt-out
+
+    monkeypatch.delenv("BENCH_PERSIST")
+    bench.main()
+    assert json.loads(path.read_text())["value"] == 1000.0
+
+    # a mid-flight failure falls back to the (now persisted) stale record
+    def boom(*a):
+        raise RuntimeError("tunnel dropped")
+    monkeypatch.setattr(bench, "tpu_clips_per_sec", boom)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stale"] is True and "tunnel dropped" in out["stale_reason"]
+
+
 def test_bench_functions_tiny():
     sys.path.insert(0, ROOT)
     sys.path.insert(0, os.path.join(ROOT, "tests"))
