@@ -26,8 +26,11 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 CASE = "gtzan"          # flagship: 3 s GTZAN model on 128x128 mels
 K = 4                   # DRSA subspaces at layer_idx 10 (d = 64)
 LAYER_IDX = 10
-TPU_BATCH = 256
-TPU_ITERS = 8
+# batch/iters are env-overridable for operating-point sweeps; non-default
+# runs are experiments and don't refresh the persisted production record
+# (see main's persist guard)
+TPU_BATCH = int(os.environ.get("BENCH_TPU_BATCH", "256"))
+TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "8"))
 CPU_BATCH = 4
 CPU_ITERS = 2
 
@@ -379,13 +382,16 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }
+    record["tpu_batch"] = TPU_BATCH
     record.update(extras)
-    # kernel-strategy experiment runs (DRSA_* env flags) must not replace
-    # the persisted production record; BENCH_PERSIST=0 also lets a caller
-    # opt out explicitly
+    # experiment runs must not replace the persisted production record:
+    # kernel-strategy DRSA_* env flags, non-default batch/iters sweeps
+    # (BENCH_TPU_BATCH/ITERS), or an explicit BENCH_PERSIST=0 opt-out
     flags = {k: v for k, v in os.environ.items()
              if k.startswith("DRSA_") and v == "1"}
-    if not flags and os.environ.get("BENCH_PERSIST", "1") != "0":
+    swept = any(os.environ.get(k) for k in ("BENCH_TPU_BATCH",
+                                            "BENCH_TPU_ITERS"))
+    if not flags and not swept and os.environ.get("BENCH_PERSIST", "1") != "0":
         save_last_bench(record)
     print(json.dumps(record))
 

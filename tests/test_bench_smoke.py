@@ -102,6 +102,11 @@ def test_main_persist_guard(monkeypatch, tmp_path, capsys):
     assert not path.exists()                 # explicit opt-out
 
     monkeypatch.delenv("BENCH_PERSIST")
+    monkeypatch.setenv("BENCH_TPU_BATCH", "512")
+    bench.main()
+    assert not path.exists()                 # operating-point sweep
+
+    monkeypatch.delenv("BENCH_TPU_BATCH")
     bench.main()
     assert json.loads(path.read_text())["value"] == 1000.0
 
