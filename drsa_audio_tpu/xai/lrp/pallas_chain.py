@@ -100,12 +100,14 @@ def _banded(m: jnp.ndarray, P: int) -> jnp.ndarray:
     contraction: output block p reads window slots p, p+1, p+2 (= columns
     g*P + p - 1 .. g*P + p + 1) through taps dx = 0..2."""
     Ci, Co = m.shape[1], m.shape[2]
-    out = np.zeros(((P + 2) * Ci, P * Co), np.float32)
-    mh = np.asarray(m)
+    # static-index .at updates (NOT numpy): the prep runs inside jit traces
+    # (plan_chain under a jitted explain_lower), where m is a tracer
+    out = jnp.zeros(((P + 2) * Ci, P * Co), jnp.float32)
     for p in range(P):
         for d in range(3):
-            out[(p + d) * Ci:(p + d + 1) * Ci, p * Co:(p + 1) * Co] = mh[d]
-    return jnp.asarray(out)
+            out = out.at[(p + d) * Ci:(p + d + 1) * Ci,
+                         p * Co:(p + 1) * Co].set(m[d])
+    return out
 
 
 def pack_conv_weights_banded(w_oihw: jnp.ndarray, P: int,

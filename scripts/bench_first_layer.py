@@ -107,18 +107,21 @@ def main():
     args = ap.parse_args()
     b = args.batch
 
-    rng = np.random.default_rng(0)
     P = 128 // C1
-    # realistic inputs: a1 has post-conv stats (mixed sign), R nonneg-ish
-    a1 = jnp.asarray(rng.standard_normal((b, HF, WF, C1)).astype(np.float32))
-    a1p = pc.pack(a1, P)
-    R = jnp.asarray(np.abs(rng.standard_normal(
-        (b, K, HF // 2, WF // 2 // P, 128))).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((C1, 1, 3, 3)).astype(np.float32))
+    # realistic inputs: a1 has post-conv stats (mixed sign), R nonneg-ish.
+    # Generated ON DEVICE (jax.random): the batch-256 operand set is ~1.6 GB
+    # and host->device numpy transfers crawl through the RPC tunnel
+    # (observed: >13 min, never finished).
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    a1 = jax.random.normal(k1, (b, HF, WF, C1), jnp.float32)
+    a1p = jax.block_until_ready(pc.pack(a1, P))
+    R = jax.block_until_ready(jnp.abs(jax.random.normal(
+        k2, (b, K, HF // 2, WF // 2 // P, 128), jnp.float32)))
+    print(json.dumps({"setup": "device inputs ready"}), flush=True)
+    w = jax.random.normal(k3, (C1, 1, 3, 3), jnp.float32)
     wm = w * w                                           # wsquare rule
     ones = jnp.ones((HF, WF), jnp.float32)
     # z0 map for wsquare: conv of ones with wm (input-independent denominator)
-    import jax.scipy.signal  # noqa: F401
     z0 = jax.lax.conv_general_dilated(
         jnp.ones((1, 1, HF, WF), jnp.float32), jnp.transpose(wm, (0, 1, 2, 3)),
         (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
@@ -128,32 +131,90 @@ def main():
     mred = pc.blockdiag(jnp.ones((C1, 1), jnp.float32), P)
     mtaps = pack_first_mtaps(wm, P)
 
+    # arrays MUST be jit arguments, not closure constants: closed-over device
+    # arrays are embedded as literal constants and the remote-compile tunnel
+    # then serializes gigabytes per compile (observed: >25 min, never done).
+    # Each variant: (fn(R, *rest), rest). fn's first arg is the relevance so
+    # the chained timer can thread a data dependency through it.
     runs = {
-        "prod": lambda: run_prod(R, a1p, z0p, wl0, mred, b, None),
-        "mmtaps": lambda: run_variant(_first_layer_kernel_mmtaps,
-                                      R, a1p, z0p, mtaps, b),
-        "mmtaps_kvec": lambda: run_variant(_first_layer_kernel_mmtaps_kvec,
-                                           R, a1p, z0p, mtaps, b),
+        "prod": (lambda R, a1p, z0p, wl0, mred:
+                 run_prod(R, a1p, z0p, wl0, mred, b, None),
+                 (a1p, z0p, wl0, mred)),
+        "mmtaps": (lambda R, a1p, z0p, mtaps:
+                   run_variant(_first_layer_kernel_mmtaps,
+                               R, a1p, z0p, mtaps, b),
+                   (a1p, z0p, mtaps)),
+        "mmtaps_kvec": (lambda R, a1p, z0p, mtaps:
+                        run_variant(_first_layer_kernel_mmtaps_kvec,
+                                    R, a1p, z0p, mtaps, b),
+                        (a1p, z0p, mtaps)),
     }
+
+    # Timing methodology (BASELINE.md): the tunnel adds a ~29 ms RPC floor
+    # per host-observed completion AND dedups/pipelines identical dispatches
+    # (16 repeat calls of the same jitted fn measured 0.04 ms/iter — bogus).
+    # True per-kernel time needs N DEPENDENT iterations chained inside ONE
+    # jitted program; the RPC floor is measured with a null program and
+    # subtracted.
+    def make_chained(fn, rest, n_iters):
+        def chained(R, *rest):
+            out_full = fn(R, *rest)           # correctness output (1 exec)
+            # seed the chain off out_full so no iteration can CSE with it
+            R0 = R + out_full[0, 0, 0, 0, 0] * 1e-30
+            def body(_, carry):
+                Rc, acc = carry
+                out = fn(Rc, *rest)
+                dep = out[0, 0, 0, 0, 0] * 1e-30
+                return (Rc + dep, acc + dep)
+            _, acc = jax.lax.fori_loop(0, n_iters, body,
+                                       (R0, jnp.float32(0.0)))
+            return acc, out_full
+        return jax.jit(chained)
+
+    @jax.jit
+    def null_prog(x):
+        return x + 1.0
+
+    xs = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(null_prog(xs))
+    floors = []
+    for _ in range(8):
+        # fresh content each rep: identical dispatches are dedup-cached
+        xs = jax.block_until_ready(xs + 1.0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(null_prog(xs))
+        floors.append(time.perf_counter() - t0)
+    floor_ms = float(np.median(floors)) * 1e3
+    print(json.dumps({"rpc_floor_ms": round(floor_ms, 2)}), flush=True)
+
     ref = None
-    for name, fn in runs.items():
+    for name, (fn, rest) in runs.items():
         # an experimental kernel that fails to lower must not kill the
         # production number (nor vice versa)
         try:
-            jf = jax.jit(fn)
-            out = jf()                                    # compile + warm
+            print(json.dumps({"variant": name, "status": "compiling"}),
+                  flush=True)
+            jf = make_chained(fn, rest, args.iters)
+            _, out = jf(R, *rest)                         # compile + warm
             jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = jf()
-            jax.block_until_ready(out)
+            o = np.asarray(out)
+            times = []
+            Rv = R
+            for i in range(3):
+                # fresh input content+buffer each call: the tunnel dedups
+                # identical dispatches (measured 0.04 ms/iter on repeats)
+                Rv = jax.block_until_ready(Rv * (1.0 + 1e-6))
+                t0 = time.perf_counter()
+                acc, _ = jf(Rv, *rest)
+                jax.block_until_ready(acc)
+                times.append(time.perf_counter() - t0)
         except Exception as e:
             print(json.dumps({"variant": name, "error":
                               f"{type(e).__name__}: {str(e)[:500]}"}),
                   flush=True)
             continue
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
-        o = np.asarray(out)
+        # total per call = floor + (iters+1) kernel execs (chain + out_full)
+        ms = (float(np.median(times)) * 1e3 - floor_ms) / (args.iters + 1)
         if ref is None:
             ref = o
             diff = 0.0
@@ -161,7 +222,8 @@ def main():
             diff = float(np.max(np.abs(o - ref)))
         print(json.dumps({"variant": name, "ms_per_iter": round(ms, 3),
                           "max_abs_diff_vs_prod": diff,
-                          "out_absmax": float(np.max(np.abs(o)))}))
+                          "out_absmax": float(np.max(np.abs(o)))}),
+              flush=True)
 
 
 if __name__ == "__main__":
