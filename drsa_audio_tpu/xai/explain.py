@@ -254,17 +254,18 @@ def explain_lower(
     # clone's math is independent in the tiled path, so chunking matches the
     # one-shot tiled backward up to conv-accumulation reassociation at the
     # smaller batch (tested at rtol 2e-5).
-    # the fused chain could supersede clone_chunk now that it supports the
-    # 6 s topology (it bounds memory tighter: per-instance VMEM walks, HBM
-    # holds only the batch-b activations) — but the 6 s kernels are
-    # validated in CPU interpret mode only so far, so the AUTO default
-    # still defers to clone_chunk callers until the on-chip A/B
-    # (scripts/bench_6s_lower.py, which passes fused=True explicitly) has
-    # run on real hardware. Flip this to `nhwc and not shared_denominators`
-    # once it has.
+    # the fused chain SUPERSEDES clone_chunk on supported topologies: it
+    # bounds memory tighter (per-(instance,clone,row-band) VMEM walks, HBM
+    # holds only the batch-b activations) and the on-chip 6 s A/B
+    # (scripts/bench_6s_lower.py, after row-banding the deep first-block
+    # kernel) measured it 1.81x FASTER than clone_chunk=2 (51.1 vs 92.5 ms
+    # at batch 32, corr 0.9999995, max diff 2.9e-6 — BASELINE.md round-3
+    # continued). So the AUTO default routes every nhwc non-shared call
+    # through plan_chain; clone_chunk remains the fallback when the plan
+    # is None (unsupported topology).
     fused_explicit = fused is True
     if fused is None:
-        fused = nhwc and clone_chunk is None and not shared_denominators
+        fused = nhwc and not shared_denominators
     if fused:
         from drsa_audio_tpu.xai.lrp.pallas_chain import (
             plan_chain, fused_lower_conv_backward)

@@ -624,32 +624,42 @@ def _chain_block_kernel(*refs, metas, pool_cfg):
 def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
                              wz3_ref, wT1_ref, wT3_ref, b_ref, wl0_ref,
                              mred_ref, out_ref, *, kw, gmeta, stab0,
-                             mm_taps=False):
+                             halo=0, mm_taps=False):
     """Deep first block (one gamma conv between the pool and the first conv,
     e.g. the 6s net's block 1): pool backward -> relu gate + gamma rule ->
-    first-layer rule. One grid step = one (instance, clone) — at the 6s
-    128x256x64 fine level a single clone's walk plus the shared denominators
-    already peak ~80 MB of VMEM, so clones split across grid steps and the
+    first-layer rule. One grid step = one (instance, clone, row band) — at
+    the 6s 128x256x64 fine level a single clone's FULL walk plus the shared
+    denominators peaks ~150 MB of scoped VMEM (110 MB of it register spill
+    slots — measured: the unbanded kernel fails to compile on the v5e), so
+    the fine rows split into bands of ``out_ref`` height with ``halo``
+    overlap rows on each side (halo=4 covers the 3-conv-stage reach; see
+    _row_bands). Interior rows are bit-identical to the unbanded walk —
+    every op is row-local within the halo (pool pairs stay aligned because
+    band starts are even), and at TRUE array edges the zero-padded a1/apre/R
+    halo rows reproduce the SAME-conv zero padding exactly (s0's halo rows
+    vanish through the x1 multiply). Clones split across grid steps and the
     per-instance pieces are recomputed per clone (the instance-indexed input
     blocks are NOT re-fetched: their block index is unchanged across the K
     inner steps)."""
-    apre = apre_ref[0]
-    a1 = a1_ref[0]
+    apre = apre_ref[0, 0]
+    a1 = a1_ref[0, 0]
     C_pool = gmeta["Co"]                     # pool level = gamma conv output
     C0 = gmeta["Ci"]                         # first-layer level = conv0 out
     mask = maxpool_fine_mask(jnp.maximum(apre, 0.0), C_pool, kw)
-    s = pool_backward(R_ref[0, 0], mask, C_pool, kw)
+    s = pool_backward(R_ref[0, 0, 0], mask, C_pool, kw)
     x1 = jnp.maximum(a1, 0.0)                # the gamma conv's recorded input
     z_true, m1, m3 = _gamma_prep(x1, wz1_ref[:], wz3_ref[:], b_ref[:],
                                  gmeta["Ci"], gmeta["gamma"], gmeta["stab"])
     Rn = _gamma_apply(s, x1, z_true, m1, m3, wT1_ref[:], wT3_ref[:],
                       gmeta["Co"])
-    s0 = Rn * (relu_gate(a1) / stabilize(z0_ref[:], stab0))
+    s0 = Rn * (relu_gate(a1) / stabilize(z0_ref[0], stab0))
     if mm_taps:
-        out_ref[0, 0] = _first_tail_mm(s0, wl0_ref[:], C0)
+        r = _first_tail_mm(s0, wl0_ref[:], C0)
     else:
         acc = conv3x3_packed_vpu(s0, wl0_ref[:], C0)
-        out_ref[0, 0] = _mm(acc, mred_ref[:])
+        r = _mm(acc, mred_ref[:])
+    Bf = out_ref.shape[3]
+    out_ref[0, 0, 0] = jax.lax.slice_in_dim(r, halo, halo + Bf, axis=0)
 
 
 def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
@@ -898,6 +908,22 @@ def _const_spec(arr):
     return pl.BlockSpec(arr.shape, lambda n, *rest, _nd=nd: (0,) * _nd)
 
 
+def _row_bands(x, Bf: int, halo: int, axis: int):
+    """Split the row dim ``axis`` into overlapping bands for spatially tiled
+    kernels: [..., H, ...] -> [..., nb, Bf + 2*halo, ...] where band t holds
+    rows [t*Bf - halo, (t+1)*Bf + halo), zero-filled outside [0, H). The
+    zero halo at true edges reproduces SAME-conv row padding."""
+    H = x.shape[axis]
+    assert H % Bf == 0, (H, Bf)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (halo, halo)
+    xp = jnp.pad(x, pad)
+    bands = [jax.lax.slice_in_dim(xp, t * Bf, (t + 1) * Bf + 2 * halo,
+                                  axis=axis)
+             for t in range(H // Bf)]
+    return jnp.stack(bands, axis=axis)
+
+
 def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
     """Run the fused chain. acts_nhwc: recorded NHWC inputs per conv-section
     layer (batch-leading, from explain_forward_upper(nhwc=True));
@@ -1004,29 +1030,51 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
                  "stab": gws["stab"]}
         apre0 = act_packed(pi - 1, P0)           # gamma conv's pre-relu out
         R = pack(unpack(R, gws["Co"]), P0)
+        # Row-band the fine level: the unbanded per-clone walk needs ~150 MB
+        # of scoped VMEM at the 6s shapes (110 MB register spills) and fails
+        # to compile on the v5e. Bands of 32 fine rows with halo 4 (the
+        # 3-conv-stage reach) keep the live set ~2.6 MB/array; interior rows
+        # are bit-identical (see _first_block_deep_kernel docstring).
+        if HF > 64 and HF % 32 == 0:
+            Bf, halo = 32, 4
+        else:
+            Bf, halo = HF, 0
+        nb = HF // Bf
+        Bc, halo_c = Bf // 2, halo // 2
+        R_b = _row_bands(R, Bc, halo_c, axis=2)
+        apre_b = _row_bands(apre0, Bf, halo, axis=1)
+        a1_b = _row_bands(a1p, Bf, halo, axis=1)
+        z0_b = _row_bands(fw["z0p"], Bf, halo, axis=0)
         kern = functools.partial(_first_block_deep_kernel, kw=kw,
-                                 gmeta=gmeta, stab0=fw["stab0"], mm_taps=mm)
+                                 gmeta=gmeta, stab0=fw["stab0"], halo=halo,
+                                 mm_taps=mm)
+        # grid order (b, nb, K): clones iterate INNERMOST so the big fine
+        # activation bands (apre/a1/z0, block index (n, t)) stay resident in
+        # VMEM across the K clone steps; only the small R/out blocks cycle
         out = pl.pallas_call(
             kern,
-            grid=(b, K),
+            grid=(b, nb, K),
             in_specs=[
-                pl.BlockSpec((1, 1) + R.shape[2:],
-                             lambda n, k: (n, k, 0, 0, 0)),
-                pl.BlockSpec((1,) + apre0.shape[1:],
-                             lambda n, k: (n, 0, 0, 0)),
-                pl.BlockSpec((1,) + a1p.shape[1:],
-                             lambda n, k: (n, 0, 0, 0)),
-                _const_spec(fw["z0p"]),
+                pl.BlockSpec((1, 1, 1) + R_b.shape[3:],
+                             lambda n, t, k: (n, k, t, 0, 0, 0)),
+                pl.BlockSpec((1, 1) + apre_b.shape[2:],
+                             lambda n, t, k: (n, t, 0, 0, 0)),
+                pl.BlockSpec((1, 1) + a1_b.shape[2:],
+                             lambda n, t, k: (n, t, 0, 0, 0)),
+                pl.BlockSpec((1,) + z0_b.shape[1:],
+                             lambda n, t, k: (t, 0, 0, 0)),
                 _const_spec(gws["wz1"]), _const_spec(gws["wz3"]),
                 _const_spec(gws["wT1"]), _const_spec(gws["wT3"]),
                 _const_spec(gws["biases"]),
                 _const_spec(wl_arg), _const_spec(fw["mred"]),
             ],
-            out_specs=pl.BlockSpec((1, 1, HF, GF, P0),
-                                   lambda n, k: (n, k, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
+            out_specs=pl.BlockSpec((1, 1, 1, Bf, GF, P0),
+                                   lambda n, t, k: (n, k, t, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, K, nb, Bf, GF, P0),
+                                           jnp.float32),
             compiler_params=_params(),
             interpret=_interpret(),
-        )(R, apre0, a1p, fw["z0p"], gws["wz1"], gws["wz3"], gws["wT1"],
+        )(R_b, apre_b, a1_b, z0_b, gws["wz1"], gws["wz3"], gws["wT1"],
           gws["wT3"], gws["biases"], wl_arg, fw["mred"])
+        out = out.reshape(b, K, HF, GF, P0)
     return out.reshape(b, K, HF, GF * P0)

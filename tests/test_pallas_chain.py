@@ -501,3 +501,22 @@ def test_fused_chain_p1_first_block_matches_tiled(rng):
     h_ref, h_fused = np.asarray(h_ref), np.asarray(h_fused)
     atol = 1e-5 * np.abs(h_ref).max()
     np.testing.assert_allclose(h_fused, h_ref, rtol=1e-4, atol=atol)
+
+
+def test_row_bands_layout(rng):
+    """_row_bands: interior rows replicate the source, halo rows at the true
+    array edges are zeros, and band t covers rows [t*Bf - halo, (t+1)*Bf +
+    halo) — the contract the banded deep first-block kernel slices by."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 4, 8)).astype(np.float32))
+    Bf, halo = 4, 2
+    b = np.asarray(pc._row_bands(x, Bf, halo, axis=1))
+    assert b.shape == (2, 4, Bf + 2 * halo, 4, 8)
+    xs = np.asarray(x)
+    for t in range(4):
+        lo = t * Bf - halo
+        for i in range(Bf + 2 * halo):
+            g = lo + i
+            if 0 <= g < 16:
+                np.testing.assert_array_equal(b[:, t, i], xs[:, g])
+            else:
+                np.testing.assert_array_equal(b[:, t, i], 0.0)
