@@ -131,28 +131,40 @@ def main():
                              nhwc=True)
 
     rng = np.random.default_rng(0)
-    wavs = jnp.asarray(rng.standard_normal(
-        (BATCH, fe.sample_rate * fe.slice_length)).astype(np.float32))
+    wavs = jax.random.normal(jax.random.PRNGKey(0),
+                             (BATCH, fe.sample_rate * fe.slice_length),
+                             jnp.float32)
     mels = logmel(peak_normalize(wavs), fe)[:, None]
     R_f, acts = stage_upper(mels)
+
+    # the tunnel DEDUPS identical dispatches (BASELINE.md), so every traced/
+    # timed call gets its own perturbed input, pre-materialized
+    from _tunnel_timing import measure_rpc_floor
+    floor_ms = measure_rpc_floor(jax, jnp)
     if args.stage == "upper":
-        run = lambda: stage_upper(mels)
+        ins = [jax.block_until_ready(mels * (1.0 + 1e-6 * (i + 1)))
+               for i in range(args.iters)]
+        runs = [lambda m=m: stage_upper(m) for m in ins]
     else:
-        run = lambda: stage_lower(acts, R_f)
-    out = run()                           # compile + warm
+        ins = [jax.block_until_ready(R_f * (1.0 + 1e-6 * (i + 1)))
+               for i in range(args.iters)]
+        runs = [lambda r=r: stage_lower(acts, r) for r in ins]
+    out = runs[0]()                       # compile + warm
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    times = []
+    for run in runs:
+        t0 = time.perf_counter()
         out = run()
-    jax.block_until_ready(out)
-    wall_ms = (time.perf_counter() - t0) / args.iters * 1e3
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    wall_ms = float(np.median(times)) * 1e3 - floor_ms
 
     os.makedirs(args.logdir, exist_ok=True)
     with jax.profiler.trace(args.logdir):
-        for _ in range(args.iters):
+        for run in runs:
             out = run()
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)
 
     space = load_xplane(args.logdir)
     agg = aggregate_device_ops(space)
