@@ -46,6 +46,54 @@ def build_model():
 
 
 V5E_PEAK_FLOPS = 197e12  # TPU v5e per-chip bf16 peak (MXU); f32 runs below this
+V5E_PEAK_HBM_BW = 819e9  # TPU v5e per-chip HBM bandwidth (bytes/s)
+
+
+def min_hbm_bytes(batch: int, k: int) -> int:
+    """Minimum HBM traffic per iteration of the fused 3 s explain pipeline —
+    the roofline denominator MFU lacks (the pipeline is bandwidth-bound by
+    its own trace, docs/lower_backward_trace.md, so FLOP headroom is the
+    wrong ceiling).
+
+    Counts every tensor that MUST cross HBM under the current program
+    structure (one fused jit: frontend + forward/upper-backward + 4 Pallas
+    chain kernels), each written once and read once; assumes perfect fusion
+    of everything else (relu folded into pool operands, elementwise into
+    matmuls). GTZAN-3s levels: conv outs (128,128,32) (64,64,32) (32,32,64)
+    (16,16,64); pool outs one level coarser; projection at d=64 on the 16x16
+    map; heatmaps [b, K+1, 128, 128].
+    """
+    f = 4  # f32 bytes
+    wav = batch * 48000 * f                          # read once
+    mel = batch * 128 * 134 * f                      # STFT crop: ~134 frames
+    # recorded acts the chain consumes: conv pre-acts + conv inputs (pool
+    # outs), written by forward + read by the chain kernels
+    acts = batch * f * (
+        128 * 128 * 32      # conv0 out (pre-act)
+        + 64 * 64 * 32      # pool0 out (conv3 input)
+        + 64 * 64 * 32      # conv3 out
+        + 32 * 32 * 32      # pool1 out (conv6 input)
+        + 32 * 32 * 64      # conv6 out
+        + 16 * 16 * 64      # pool2 out (conv9 input)
+    )
+    # upper segment above the filter (16x16 level + classifier): R_filter
+    # and the projection input/backward at K*b
+    upper = batch * f * (16 * 16 * 64) * (2 + 2 * k)
+    # relevance tensors crossing the 4 Pallas kernel boundaries, K*b each:
+    # proj->block3 in @16^2x64, block3 out @32^2x64, block2 out @64^2x32,
+    # block1 out @64^2x32, first-kernel out @128^2x1
+    chain_r = batch * k * f * (
+        16 * 16 * 64 + 32 * 32 * 64 + 64 * 64 * 32 + 64 * 64 * 32
+        + 128 * 128)
+    heat = batch * (k + 1) * 128 * 128 * f           # program output
+    total = (wav                       # read
+             + 2 * mel                 # write + read
+             + 2 * acts                # write + read
+             + upper
+             + 2 * chain_r             # write + read (ends write-only/read-
+                                       # only, a wash at this granularity)
+             + heat + 2 * batch * k * 128 * 128 * f)  # std = sum of K + concat
+    return int(total)
 
 
 def tpu_clips_per_sec(specs, params, publish=None):
@@ -118,15 +166,27 @@ def tpu_clips_per_sec(specs, params, publish=None):
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     clips_per_sec = batch * TPU_ITERS / dt
+
+    # ---- HBM roofline (VERDICT round-3 #5): minimum bytes the pipeline
+    # must move vs what it achieves — the correct ceiling for a
+    # bandwidth-bound program (MFU's FLOP ceiling is the wrong denominator)
+    model_bytes = min_hbm_bytes(batch, K)
+    step_s = dt / TPU_ITERS
+    extras_bw = {
+        "hbm_model_gb": round(model_bytes / 1e9, 2),
+        "hbm_floor_ms": round(model_bytes / V5E_PEAK_HBM_BW * 1e3, 2),
+        "hbm_bw_util": round(model_bytes / step_s / V5E_PEAK_HBM_BW
+                             / max(n_dev, 1), 4),
+    }
     if publish is not None:
-        publish(clips_per_sec, dt / TPU_ITERS)
+        publish(clips_per_sec, extras_bw)
 
     # ---- MFU: analyzed FLOPs vs per-chip peak. The production path runs
     # the lower backward in Pallas custom calls whose FLOPs XLA's
     # cost_analysis cannot see, so the FLOP count comes from lowering the
     # ALGORITHMICALLY IDENTICAL all-XLA variant (fused=False; compile is
     # cached from earlier rounds) while the wall clock is the fused path's.
-    extras = {}
+    extras = dict(extras_bw)
     if _remaining() < 150:
         extras["extras_skipped"] = "deadline headroom too small for extra compiles"
         return clips_per_sec, extras
@@ -465,7 +525,7 @@ def main():
     persist_ok = (not flags and not swept
                   and os.environ.get("BENCH_PERSIST", "1") != "0")
 
-    def publish(tpu_rate, _step_s):
+    def publish(tpu_rate, extras_bw):
         # fresh headline, staged + persisted BEFORE the MFU/stage extras
         # compile anything: a stall there can no longer lose the number
         rec = {
@@ -475,6 +535,7 @@ def main():
             "vs_baseline": round(tpu_rate / cpu_rate, 2),
             "tpu_batch": TPU_BATCH,
         }
+        rec.update(extras_bw)
         if persist_ok:
             save_last_bench(rec)
         with _EMIT_LOCK:
