@@ -209,5 +209,5 @@ def test_sharded_6s_fused_chain_matches_single_device(rng):
     heat_b8, _ = subspace_heatmaps(specs_proj, params, jnp.asarray(mels),
                                    composite, K, class_idx=0)
     std8 = np.asarray(heat_b8)[:, 0]
-    np.testing.assert_allclose(hs[:, 0], std8, rtol=1e-4,
+    np.testing.assert_allclose(hs[:, 0], std8, rtol=1e-3,
                                atol=1e-4 * np.abs(std8).max())
