@@ -163,9 +163,28 @@ def explain_forward_upper(
     if nhwc:
         conv_sec, proj_spec = _conv_section(lower)
         h = jnp.transpose(h, (0, 2, 3, 1))
-        for spec in conv_sec:
-            acts_lower.append(h)
-            h = apply_layer_nhwc(spec, params, h)
+        i = 0
+        while i < len(conv_sec):
+            spec = conv_sec[i]
+            nxt = conv_sec[i + 1] if i + 1 < len(conv_sec) else None
+            if spec.kind == "relu" and nxt is not None and nxt.kind == "maxpool":
+                # relu commutes with max-pooling (max over a window of a
+                # monotone function = the function of the window max), so
+                # pool the PRE-ACTIVATION and relu the coarse result: the
+                # full-size relu tensor then only materializes if a consumer
+                # actually reads acts[i+1] (the fused Pallas chain derives
+                # relu gates from the pre-acts in-kernel, so on its path XLA
+                # DCEs the big relu outputs — the round-3 upper-stage trace
+                # sized the block-1 one at 537 MB/iter written+copied twice,
+                # docs/lower_backward_trace.md)
+                acts_lower.append(h)                    # relu in (pre-act)
+                acts_lower.append(jnp.maximum(h, 0.0))  # pool in (DCE-able)
+                h = jnp.maximum(apply_layer_nhwc(nxt, params, h), 0.0)
+                i += 2
+            else:
+                acts_lower.append(h)
+                h = apply_layer_nhwc(spec, params, h)
+                i += 1
         h = jnp.transpose(h, (0, 3, 1, 2))
         acts_lower.append(h)                    # projection input, NCHW
         h = apply_layer(proj_spec, params, h, train=False)
