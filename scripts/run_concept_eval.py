@@ -52,7 +52,11 @@ def main():
     from drsa_audio_tpu.xai.eval.harness import (
         PixelFlipping, concept_flipping, cf_random_subspace,
     )
-    from drsa_audio_tpu.xai.eval.metrics import separability, peakness
+    from drsa_audio_tpu.xai.eval.metrics import (
+        separability, peakness, separability_scores, peakness_scores,
+        negative_mass_fraction, cancellation_factor,
+    )
+    from drsa_audio_tpu.xai.eval.stats import paired_diff_ci
     from drsa_audio_tpu.utils.evaluation import load_projection_matrix
     from drsa_audio_tpu.utils.constants import (
         CLASS_IDX_MAPPER, CLASS_IDX_MAPPER_TOY,
@@ -109,6 +113,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     std_same = {}  # layer -> same-composite standard AUPC per instance
+    sp_scores = {}  # (alg, k, layer) -> per-instance sep/peak (+relu variants)
     for alg in args.algorithms:
         for k in args.num_concepts:
             sep_rows, peak_rows = [], []
@@ -162,10 +167,58 @@ def main():
                 p, pe = peakness(RU)
                 sep_rows.append((s, se))
                 peak_rows.append((p, pe))
+                # per-instance scores for bootstrap CIs, plus the mechanism
+                # probes for the signed-metric anomaly (VERDICT round-3 #3):
+                # the same scores on relu'd maps, and the negative-mass
+                # fraction of the raw maps
+                RU_pos = np.clip(RU, 0.0, None)
+                sp_scores[(alg, k, layer_idx)] = {
+                    "sep": separability_scores(RU),
+                    "peak": peakness_scores(RU),
+                    "sep_pos": separability_scores(RU_pos),
+                    "peak_pos": peakness_scores(RU_pos),
+                    "neg_mass": negative_mass_fraction(RU),
+                    "cancellation": cancellation_factor(RU),
+                }
+                np.savez(os.path.join(
+                    args.out, f"{alg}_sep_peak_scores_k{k}_layer{layer_idx}.npz"),
+                    **sp_scores[(alg, k, layer_idx)])
                 print(f"{alg} K={k} layer={layer_idx}: sep={s:.4f} peak={p:.4f}"
                       + (f" aupc={aupc.mean():.4f}" if aupc is not None else ""))
             np.save(os.path.join(args.out, f"{alg}_sep_peak_k{k}.npy"),
                     np.array([sep_rows, peak_rows]))
+
+    # sep/peak DRSA-vs-random comparison with paired bootstrap CIs (same eval
+    # instances on both sides) on raw AND relu'd maps
+    if "drsa" in args.algorithms and "random" in args.algorithms:
+        analysis = {}
+        for k in args.num_concepts:
+            for layer_idx in args.layers:
+                dd = sp_scores.get(("drsa", k, layer_idx))
+                rr = sp_scores.get(("random", k, layer_idx))
+                if dd is None or rr is None:
+                    continue
+                entry = {"neg_mass": {"drsa": dd["neg_mass"],
+                                      "random": rr["neg_mass"]},
+                         "cancellation": {"drsa": dd["cancellation"],
+                                          "random": rr["cancellation"]}}
+                for m in ("sep", "peak", "sep_pos", "peak_pos"):
+                    diff, lo, hi = paired_diff_ci(dd[m], rr[m])
+                    entry[m] = {
+                        "drsa": float(dd[m].mean()),
+                        "random": float(rr[m].mean()),
+                        "diff": diff, "ci95": [lo, hi],
+                        "significant": bool(lo > 0 or hi < 0),
+                    }
+                analysis[f"k{k}_layer{layer_idx}"] = entry
+                print(f"sep/peak CIs K={k} layer={layer_idx}: "
+                      + " ".join(f"{m}: d-r={entry[m]['diff']:.3g} "
+                                 f"[{entry[m]['ci95'][0]:.3g},"
+                                 f"{entry[m]['ci95'][1]:.3g}]"
+                                 for m in ("sep", "peak", "sep_pos",
+                                           "peak_pos")))
+        with open(os.path.join(args.out, "sep_peak_analysis.json"), "w") as f:
+            json.dump(analysis, f, indent=1)
 
     # interclass concept-specificity matrix (cpf.py:87-181) at one layer
     if args.interclass_layer is not None:

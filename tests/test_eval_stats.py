@@ -93,3 +93,45 @@ def test_rescale_gamma_preserves_decay_pattern():
     # stabilizers untouched
     for (n1, (r1, k1)), (n2, (r2, k2)) in zip(LRP_NAME_MAP_GTZAN_6S, out):
         assert k1.get("stabilizer") == k2.get("stabilizer")
+
+
+def test_signed_peakness_rewards_canceling_mixtures():
+    """Mechanism behind the sep/peak anomaly (VERDICT round-3 #3): the
+    reference's peakness/separability operate on SIGNED concept maps
+    (cpf.py:348-354), so they scale with per-map AMPLITUDE. A decomposition
+    that mixes large +/- values canceling in the sum (exactly what an
+    unoptimized random U produces) inflates pixelwise maxima and beats a
+    perfectly disentangled decomposition of the SAME standard map. The
+    cancellation-factor probe quantifies it; the analysis leg of
+    run_concept_eval.py records it next to the CIs."""
+    import numpy as np
+    from drsa_audio_tpu.xai.eval.metrics import (
+        peakness_scores, separability_scores, negative_mass_fraction,
+        cancellation_factor)
+
+    rng = np.random.default_rng(7)
+    b, K, h, w = 8, 4, 16, 16
+    R_std = np.abs(rng.standard_normal((b, h, w))).astype(np.float32)
+
+    # disentangled: concept k owns a disjoint quadrant of the standard map
+    disent = np.zeros((b, K, h, w), np.float32)
+    quads = [(slice(0, 8), slice(0, 8)), (slice(0, 8), slice(8, 16)),
+             (slice(8, 16), slice(0, 8)), (slice(8, 16), slice(8, 16))]
+    for k, (qi, qj) in enumerate(quads):
+        disent[:, k, qi, qj] = R_std[:, qi, qj]
+
+    # mixed: add large canceling +/- noise that sums to ZERO over concepts —
+    # the standard map is bit-identical, the decomposition is garbage
+    noise = 5.0 * rng.standard_normal((b, K, h, w)).astype(np.float32)
+    noise -= noise.mean(axis=1, keepdims=True)
+    mixed = disent + noise
+    np.testing.assert_allclose(mixed.sum(1), disent.sum(1), atol=1e-4)
+
+    # the signed metrics PREFER the garbage decomposition...
+    assert peakness_scores(mixed).mean() > 2 * peakness_scores(disent).mean()
+    assert (separability_scores(mixed).mean()
+            > separability_scores(disent).mean())
+    # ...and the probes expose why: amplitude that cancels in the sum
+    assert cancellation_factor(mixed) > 3 * cancellation_factor(disent)
+    assert abs(cancellation_factor(disent) - 1.0) < 1e-3
+    assert negative_mass_fraction(mixed) > 5 * negative_mass_fraction(disent)
