@@ -497,8 +497,18 @@ def load_last_bench(reason):
     return rec
 
 
+_WATCHDOG_ARMED = False
+
+
 def main():
-    _arm_watchdog()
+    global _WATCHDOG_ARMED
+    with _EMIT_LOCK:
+        # re-entrant for tests: each run stages/prints its own record
+        _EMIT["record"] = None
+        _EMIT["done"] = False
+    if not _WATCHDOG_ARMED:
+        _arm_watchdog()
+        _WATCHDOG_ARMED = True
     if os.environ.get("BENCH_FAKE_HANG") == "1":
         # test hook: simulate the silent tunnel stall (a device call that
         # never returns) so the watchdog path is unit-testable off-chip

@@ -88,7 +88,7 @@ def test_main_persist_guard(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr(bench, "cpu_reference_clips_per_sec",
                         lambda *a: 10.0)
     monkeypatch.setattr(bench, "tpu_clips_per_sec",
-                        lambda *a: (1000.0, {"mfu": 0.1}))
+                        lambda *a, **k: (1000.0, {"mfu": 0.1}))
 
     monkeypatch.setenv("DRSA_FIRST_LAYER_MMTAPS", "1")
     bench.main()
@@ -111,7 +111,7 @@ def test_main_persist_guard(monkeypatch, tmp_path, capsys):
     assert json.loads(path.read_text())["value"] == 1000.0
 
     # a mid-flight failure falls back to the (now persisted) stale record
-    def boom(*a):
+    def boom(*a, **k):
         raise RuntimeError("tunnel dropped")
     monkeypatch.setattr(bench, "tpu_clips_per_sec", boom)
     bench.main()
