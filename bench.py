@@ -158,8 +158,15 @@ def tpu_clips_per_sec(specs, params, publish=None):
         # scale over the slice: shard the clip axis, XLA partitions the program
         mesh = get_mesh()
         wavs = jax.device_put(wavs, NamedSharding(mesh, P("data", None)))
-    # warmup / compile
+    # warmup / compile (phase marks on stderr: the remote-compile service's
+    # latency varies wildly — minutes when congested — and the driver's log
+    # tail should show WHERE a deadline hit, cf. BENCH_r03's empty tail)
+    print(f"bench: compiling fused explain (batch {batch})...",
+          file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
     np.asarray(explain(wavs))
+    print(f"bench: compile+warmup done in {time.perf_counter() - t_c:.0f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(TPU_ITERS):
         out = explain(wavs)

@@ -535,6 +535,23 @@ def _inner_window_conv() -> bool:
     return v == "1" if v is not None else INNER_WINDOW_CONV
 
 
+# First-layer a1 strategy: recompute the first conv's output from the packed
+# mel IN-KERNEL (9 tiny [.,P]@[P,P*Co] tap matmuls, ~38 MFLOP/instance)
+# instead of reading the recorded 537 MB/iter a1 tensor as a kernel operand
+# (round-3 upper-stage trace: that operand is written by the forward, layout-
+# copied for the custom call, and re-read — the biggest single HBM item of
+# the whole pipeline). Flag until the on-chip A/B confirms it.
+# Env override (experiments only): DRSA_FIRST_LAYER_RECOMPUTE=1.
+FIRST_LAYER_RECOMPUTE = _os.environ.get(
+    "DRSA_FIRST_LAYER_RECOMPUTE", "0") == "1"
+
+
+def _first_layer_recompute() -> bool:
+    """Flag read at trace time (env wins when set — see _first_layer_mmtaps)."""
+    v = _os.environ.get("DRSA_FIRST_LAYER_RECOMPUTE")
+    return v == "1" if v is not None else FIRST_LAYER_RECOMPUTE
+
+
 def _conv_rule(x, w, C):
     if _inner_window_conv():
         return conv3x3_window_packed(x, w, C)
@@ -662,8 +679,8 @@ def _first_block_deep_kernel(R_ref, apre_ref, a1_ref, z0_ref, wz1_ref,
     out_ref[0, 0, 0] = jax.lax.slice_in_dim(r, halo, halo + Bf, axis=0)
 
 
-def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
-                        *, Ci, K, stab0, mm_taps=False):
+def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, *rest,
+                        Ci, K, stab0, mm_taps=False, recompute=False):
     """Pool backward + relu gate + first-layer rule (wsquare/flat).
 
     The fine-level multiplier F — pool route mask * relu gate /
@@ -674,8 +691,18 @@ def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, out_ref,
     replaces all of it). s0 = route(R) * F; the transposed conv to the
     single input channel runs as lane-pattern VPU accumulation + one
     block-diagonal reduction matmul. Clones loop so only one fine map is
-    live at a time."""
-    a1 = a1_ref[0]
+    live at a time.
+
+    ``recompute=True``: a1_ref holds the P-packed MEL instead (65 KB vs
+    2.1 MB per instance — and no 537 MB/iter batch tensor crossing HBM);
+    a1 is recomputed in VMEM from the true first-conv weights
+    (rest = wf, b0, out)."""
+    if recompute:
+        wf_ref, b0_ref, out_ref = rest
+        a1 = conv3x3_packed(a1_ref[0], wf_ref[:], 1) + b0_ref[:]
+    else:
+        (out_ref,) = rest
+        a1 = a1_ref[0]
     mask = maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), Ci)
     F = mask * relu_gate(a1) / stabilize(z0_ref[:], stab0)
     for k in range(K):
@@ -897,8 +924,15 @@ def _prep_first_weights(params, spec, rule, fine_hw, P: int):
     wl = jnp.stack([jnp.stack([jnp.tile(wm[:, 0, 2 - dy, 2 - dx], P)
                                for dx in range(3)]) for dy in range(3)])
     mred = blockdiag(jnp.ones((Co, 1), jnp.float32), P)     # [P*Co, P]
+    # true-weight forward taps + bias for the in-kernel a1 recompute
+    # (DRSA_FIRST_LAYER_RECOMPUTE): conv3x3_packed over the P-packed mel
+    # (Ci = 1) reproduces conv2d_same exactly, like every chain conv
+    wf = pack_conv_weights(w, P)                            # [3,3,P,P*Co]
+    b0 = (pack_bias(b, P) if b is not None
+          else jnp.zeros((P * Co,), jnp.float32))
     return {"z0p": z0p, "wl0": wl, "mred": mred,
             "mtaps": pack_first_mtaps(wm, P), "stab0": stab0,
+            "wf": wf, "b0": b0,
             "P0": P, "Co0": Co}
 
 
@@ -1004,23 +1038,34 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
         # denominator fused into one F multiplier (see _first_layer_kernel)
         C1 = fw["Co0"]
         R = pack(unpack(R, C1), P0)
+        rc = _first_layer_recompute()
         kern = functools.partial(_first_layer_kernel, Ci=C1, K=K,
-                                 stab0=fw["stab0"], mm_taps=mm)
+                                 stab0=fw["stab0"], mm_taps=mm, recompute=rc)
+        if rc:
+            # feed the tiny packed mel; a1 is recomputed in VMEM from the
+            # true first-conv weights — the recorded a1 batch tensor never
+            # becomes a kernel operand (and is then DCE-able upstream)
+            a_in = pack(acts_nhwc[0], P0)            # [b, HF, GF, P0]
+            extra_arrays = [fw["wf"], fw["b0"]]
+            extra_specs = [_const_spec(fw["wf"]), _const_spec(fw["b0"])]
+        else:
+            a_in = a1p
+            extra_arrays, extra_specs = [], []
         out = pl.pallas_call(
             kern,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, K) + R.shape[2:], lambda n: (n, 0, 0, 0, 0)),
-                pl.BlockSpec((1,) + a1p.shape[1:], lambda n: (n, 0, 0, 0)),
+                pl.BlockSpec((1,) + a_in.shape[1:], lambda n: (n, 0, 0, 0)),
                 _const_spec(fw["z0p"]), _const_spec(wl_arg),
-                _const_spec(fw["mred"]),
+                _const_spec(fw["mred"]), *extra_specs,
             ],
             out_specs=pl.BlockSpec((1, K, HF, GF, P0),
                                    lambda n: (n, 0, 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
             compiler_params=_params(),
             interpret=_interpret(),
-        )(R, a1p, fw["z0p"], wl_arg, fw["mred"])
+        )(R, a_in, fw["z0p"], wl_arg, fw["mred"], *extra_arrays)
     else:
         # deep first block (6s family): one (instance, clone) per grid step
         ci_g = blocks[0]["convs"][1]
