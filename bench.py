@@ -419,6 +419,63 @@ _DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "720"))
 _EMIT = {"record": None, "done": False}
 _EMIT_LOCK = threading.Lock()
 
+# re-exec is only safe when bench.py owns the process (python bench.py);
+# under pytest main() runs in-process and exec would replace the test runner
+_ALLOW_REEXEC = False
+
+
+def _probe_own_connection(timeout_s):
+    """One trivial device op on THIS process's jax client, bounded by a
+    thread join. Returns False on stall or backend error."""
+    import jax
+    import jax.numpy as jnp
+    ok = threading.Event()
+
+    def op():
+        try:
+            jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+            ok.set()
+        except Exception:
+            pass  # broken backend == stalled for our purposes
+
+    threading.Thread(target=op, daemon=True,
+                     name="bench-early-probe").start()
+    return ok.wait(timeout_s)
+
+
+def _early_device_probe():
+    """Validate the connection this process will actually use.
+
+    wait_for_tpu()'s SUBPROCESS probe exercises a fresh tunnel connection —
+    not the one this process's jax client opened at backend init. The axon
+    tunnel's silent stall is per-connection (observed live: the first
+    device op, init_params, blocked on a futex at ~0 CPU for minutes while
+    new subprocess connections answered in seconds). So probe our own
+    client with a bounded trivial op BEFORE the expensive phases; on a
+    stall, re-exec once — exec replaces the process image, the new jax
+    client opens a fresh connection — passing the remaining deadline down
+    so the driver's kill timer is still respected. A second stall returns
+    False and the caller falls back to the persisted record."""
+    budget = float(os.environ.get("BENCH_EARLY_PROBE_S", "90"))
+    if budget <= 0:
+        return True
+    budget = min(budget, max(_remaining() - 45.0, 5.0))
+    if _probe_own_connection(budget):
+        return True
+    if _ALLOW_REEXEC and os.environ.get("BENCH_REEXEC") != "1":
+        remaining = max(_remaining(), 60.0)
+        print(f"bench: own device connection stalled >{budget:.0f}s; "
+              "re-exec for a fresh tunnel connection...",
+              file=sys.stderr, flush=True)
+        sys.stdout.flush()
+        env = dict(os.environ, BENCH_REEXEC="1",
+                   BENCH_DEADLINE_S=str(int(remaining)))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    print("bench: own device connection stalled (re-exec "
+          f"{'already spent' if _ALLOW_REEXEC else 'unavailable'})",
+          file=sys.stderr, flush=True)
+    return False
+
 
 def _remaining():
     if _DEADLINE_S <= 0:
@@ -529,6 +586,15 @@ def main():
             _finish(rec)
             return
         # no prior record to fall back on: proceed and fail honestly
+    if not _early_device_probe():
+        rec = load_last_bench(
+            "this process's device connection stalled on the early probe "
+            "(subprocess probes answered — per-connection tunnel stall); "
+            "value is the last real on-chip measurement")
+        if rec is not None:
+            _finish(rec)
+            return
+        # no prior record: proceed; the watchdog bounds the stall
     cfg, specs, params = build_model()
     cpu_rate = cpu_reference_clips_per_sec(specs, params)
 
@@ -583,4 +649,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _ALLOW_REEXEC = True
     main()

@@ -90,3 +90,60 @@ def test_staged_fresh_record_wins_over_stale(tmp_path):
     assert rec["value"] == 5555.0
     assert "stall" in rec["extras_truncated"]
     assert "stale" not in rec
+
+def test_early_probe_stall_falls_back_to_stale_record(tmp_path):
+    """The per-connection stall: subprocess probes answer but THIS process's
+    jax client hangs on its first device op (observed live in round 4 — the
+    main process blocked in init_params on a futex at ~0 CPU while fresh
+    connections answered in seconds). With re-exec unavailable, main() must
+    emit the persisted record flagged stale, exit cleanly."""
+    last = tmp_path / "last_bench.json"
+    last.write_text(json.dumps({
+        "metric": "explained_clips_per_sec_e2e", "value": 4321.0,
+        "unit": "clips/s", "vs_baseline": 50.0,
+        "measured_commit": "cafef00d"}))
+    code = (
+        "import os, sys; sys.path.insert(0, %r); "
+        "import bench; "
+        "bench._probe_own_connection = lambda t: False; "
+        "bench.main()"
+    ) % ROOT
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=60,
+        env=_clean_env(BENCH_TPU_WAIT_S="0", BENCH_EARLY_PROBE_S="1",
+                       BENCH_DEADLINE_S="30", BENCH_LAST_PATH=str(last)))
+    assert r.returncode == 0, r.stderr
+    rec = json.loads([l for l in r.stdout.strip().splitlines()
+                      if l.startswith("{")][-1])
+    assert rec["value"] == 4321.0
+    assert rec["stale"] is True
+    assert "per-connection" in rec["stale_reason"]
+
+
+def test_early_probe_stall_reexecs_once_for_fresh_connection(tmp_path):
+    """First stall with re-exec available: bench must exec a fresh process
+    (new jax client == new tunnel connection) with BENCH_REEXEC=1 and the
+    REMAINING deadline, so the driver's kill timer is still respected."""
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "bench._ALLOW_REEXEC = True\n"
+        "bench._probe_own_connection = lambda t: False\n"
+        "def fake_exec(exe, argv, env):\n"
+        "    print('EXEC', env['BENCH_REEXEC'], env['BENCH_DEADLINE_S'])\n"
+        "    sys.exit(0)\n"
+        "os.execve = fake_exec\n"
+        "bench.main()\n"
+    ) % ROOT
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=60,
+        env=_clean_env(BENCH_TPU_WAIT_S="0", BENCH_EARLY_PROBE_S="1",
+                       BENCH_DEADLINE_S="300",
+                       BENCH_LAST_PATH=str(tmp_path / "none.json")))
+    assert r.returncode == 0, r.stderr
+    assert "EXEC 1" in r.stdout
+    deadline = int(r.stdout.split()[-1])
+    assert 0 < deadline <= 300
