@@ -248,7 +248,14 @@ def tpu_clips_per_sec(specs, params, publish=None):
 
 
 def cpu_reference_clips_per_sec(specs, params):
-    """Reference-style pipeline in torch on CPU (algorithm as written)."""
+    """Reference-style pipeline in torch on CPU (algorithm as written).
+
+    BENCH_CPU_RATE short-circuits with a previously measured value so
+    operating-point sweeps don't re-pay the ~1 min torch baseline per
+    batch point (the baseline doesn't depend on the TPU batch)."""
+    override = os.environ.get("BENCH_CPU_RATE")
+    if override:
+        return float(override)
     import torch
     import torch.nn.functional as F
     import lrp_torch_oracle as oracle
