@@ -540,7 +540,13 @@ def _inner_window_conv() -> bool:
 # instead of reading the recorded 537 MB/iter a1 tensor as a kernel operand
 # (round-3 upper-stage trace: that operand is written by the forward, layout-
 # copied for the custom call, and re-read — the biggest single HBM item of
-# the whole pipeline). Flag until the on-chip A/B confirms it.
+# the whole pipeline).
+# MEASURED (round 4, on-chip A/B at batch 256): 5410 clips/s, fused 47.3 ms
+# vs production 5567 / ~46 ms — a ~3% REGRESSION, so the flag stays OFF.
+# The upper stage only dropped 11.5->11.2 ms (XLA still materializes the
+# pre-act for the pool route) while the first-layer kernel paid more than
+# the saved read; consistent with the chain being VMEM-bandwidth-bound.
+# Bit-exactness vs the recorded-a1 path is held by tests either way.
 # Env override (experiments only): DRSA_FIRST_LAYER_RECOMPUTE=1.
 FIRST_LAYER_RECOMPUTE = _os.environ.get(
     "DRSA_FIRST_LAYER_RECOMPUTE", "0") == "1"
