@@ -32,6 +32,11 @@ LAYER_IDX = 10
 # (see main's persist guard)
 TPU_BATCH = int(os.environ.get("BENCH_TPU_BATCH", "256"))
 TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "8"))
+# chained-slope headline measurement (see chained_explain in
+# tpu_clips_per_sec): trip counts for the two timed points and reps/point
+CHAIN_N_LO = int(os.environ.get("BENCH_CHAIN_N_LO", "2"))
+CHAIN_N_HI = int(os.environ.get("BENCH_CHAIN_N_HI", "6"))
+CHAIN_REPS = int(os.environ.get("BENCH_CHAIN_REPS", "3"))
 CPU_BATCH = 4
 CPU_ITERS = 2
 
@@ -122,13 +127,40 @@ def tpu_clips_per_sec(specs, params, publish=None):
     specs_proj = insert_projection(specs, LAYER_IDX, U, K)
     composite = class_composite(LRP_NAME_MAP_GTZAN, K)
 
-    @jax.jit
-    def explain(wavs):
+    def explain_core(wavs):
         x = peak_normalize(wavs)
         mels = logmel(x, fe)[:, None]
         heat, _ = subspace_heatmaps(specs_proj, params, mels, composite, K,
                                     class_idx=0)
         return heat
+
+    explain = jax.jit(explain_core)
+
+    # headline measurement program: n DEPENDENT iterations of the full
+    # explain chained inside ONE compiled program (dynamic trip count, so
+    # one compile serves every n), returning only a scalar checksum. Timing
+    # the SLOPE between two trip counts with an np.asarray pull measures
+    # pure device time, immune to every tunnel artifact we have caught so
+    # far: the ~29 ms RPC floor (round 2), dispatch dedup (round 3), and
+    # block_until_ready acking before compute drains (round 4 —
+    # scripts/_probe_sync_semantics.py measured block=24 ms vs asarray=
+    # 394 ms on the same fresh result; scripts/probe_true_iter_time.py has
+    # the full derivation: slope 41.2 ms vs 45.7 ms for the loop method).
+    @jax.jit
+    def chained_explain(wavs, n):
+        def cond(state):
+            return state[0] < n
+
+        def body(state):
+            i, w, acc = state
+            heat = explain_core(w)
+            s = jnp.sum(heat) / heat.size
+            # sequential dependency: the next input derives from this
+            # output, so iterations cannot overlap or dedup
+            return i + 1, w * (1.0 + 1e-12 * s), acc + s
+
+        state = (jnp.int32(0), wavs, jnp.float32(0))
+        return jax.lax.while_loop(cond, body, state)[2]
 
     # staged programs (frontend / fwd+upper-backward / K-vmapped lower
     # backward) for the per-stage breakdown; boundaries materialize
@@ -161,17 +193,33 @@ def tpu_clips_per_sec(specs, params, publish=None):
     # warmup / compile (phase marks on stderr: the remote-compile service's
     # latency varies wildly — minutes when congested — and the driver's log
     # tail should show WHERE a deadline hit, cf. BENCH_r03's empty tail)
-    print(f"bench: compiling fused explain (batch {batch})...",
+    print(f"bench: compiling chained fused explain (batch {batch})...",
           file=sys.stderr, flush=True)
     t_c = time.perf_counter()
-    np.asarray(explain(wavs))
+    np.asarray(chained_explain(wavs, 1))
     print(f"bench: compile+warmup done in {time.perf_counter() - t_c:.0f}s",
           file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    for _ in range(TPU_ITERS):
-        out = explain(wavs)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+
+    def timed_chain(n, reps=CHAIN_REPS):
+        ts, v = [], wavs
+        for _ in range(reps):
+            # fresh input content before each timed call: identical
+            # dispatches have been observed to dedup-cache on the tunnel
+            v = jax.block_until_ready(v * (1.0 + 1e-6))
+            t0 = time.perf_counter()
+            np.asarray(chained_explain(v, n))  # D2H pull = true sync
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo = timed_chain(CHAIN_N_LO)
+    t_hi = timed_chain(CHAIN_N_HI)
+    # slope cancels every fixed per-dispatch cost (upload, RPC, ack, D2H)
+    slope = (t_hi - t_lo) / (CHAIN_N_HI - CHAIN_N_LO)
+    if slope <= 0:
+        # degenerate on tiny/noisy workloads (CPU smoke test): fall back
+        # to total/n, which only OVERSTATES the per-iter time
+        slope = t_hi / CHAIN_N_HI
+    dt = slope * TPU_ITERS
     clips_per_sec = batch * TPU_ITERS / dt
 
     # ---- HBM roofline (VERDICT round-3 #5): minimum bytes the pipeline
@@ -184,6 +232,9 @@ def tpu_clips_per_sec(specs, params, publish=None):
         "hbm_floor_ms": round(model_bytes / V5E_PEAK_HBM_BW * 1e3, 2),
         "hbm_bw_util": round(model_bytes / step_s / V5E_PEAK_HBM_BW
                              / max(n_dev, 1), 4),
+        "timing_method": "chained-slope",
+        "chain_t_ms": {str(CHAIN_N_LO): round(t_lo * 1e3, 1),
+                       str(CHAIN_N_HI): round(t_hi * 1e3, 1)},
     }
     if publish is not None:
         publish(clips_per_sec, extras_bw)
@@ -218,6 +269,26 @@ def tpu_clips_per_sec(specs, params, publish=None):
             extras["gflops_per_clip"] = round(flops / batch / 1e9, 3)
     except Exception as e:  # cost_analysis availability differs per backend
         extras["mfu_error"] = str(e)[:120]
+
+    # ---- cross-check: the pre-round-4 same-buffer loop methodology.
+    # Its delta vs the slope is the per-dispatch tunnel overhead that the
+    # slope cancels (~4.5 ms/iter when measured at the correction point);
+    # values through round 3 (BENCH_r02, the 5625.5 record) used this.
+    if _remaining() < 120:
+        extras["loop_check_skipped"] = "deadline headroom too small"
+        return clips_per_sec, extras
+    try:
+        np.asarray(explain(wavs))  # compile + warm + drain
+        t0 = time.perf_counter()
+        for _ in range(TPU_ITERS):
+            out = explain(wavs)
+        jax.block_until_ready(out)
+        loop_ms = (time.perf_counter() - t0) / TPU_ITERS * 1e3
+        extras["loop_method_ms_per_iter"] = round(loop_ms, 2)
+        extras["dispatch_overhead_ms"] = round(
+            loop_ms - dt / TPU_ITERS * 1e3, 2)
+    except Exception as e:
+        extras["loop_check_error"] = str(e)[:120]
 
     # ---- per-stage wall-clock split
     if _remaining() < 120:
