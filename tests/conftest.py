@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: the package __init__ enables the persistent compilation cache, but
+# only on axon/tpu platforms — XLA:CPU's cached AOT executables reload with
+# machine-feature-mismatch (SIGILL-risk) errors on this host, so the suite
+# (forced CPU above) intentionally runs uncached. See utils/compcache.py.
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
