@@ -558,6 +558,27 @@ def _first_layer_recompute() -> bool:
     return v == "1" if v is not None else FIRST_LAYER_RECOMPUTE
 
 
+# Merged-tail strategy (round 5, the roofline-directed restructure): run
+# blocks nb-2 .. 0 — everything below the head block — in ONE kernel per
+# instance, so the mid-chain relevance tensors never round-trip HBM. At the
+# 3s shapes the two boundaries this removes (block2->block1 and
+# block1->first, each [b, K, 64, 64, 32]) are 537 MB written + read EACH per
+# iteration — ~2.1 GB of the measured traffic, ~2.6 ms at the v5e's peak
+# HBM bandwidth, plus two grid dispatches. Applicable when every merged
+# level packs at the SAME P (single-conv blocks, (2,2) pools, m0 == 1 —
+# the 3s and toy families); the 6s deep-block topology keeps the
+# multi-kernel path (its first block is row-banded, incompatible with a
+# whole-chain walk).
+# Env override (experiments only): DRSA_CHAIN_MERGED=0/1.
+CHAIN_MERGED = _os.environ.get("DRSA_CHAIN_MERGED", "0") == "1"
+
+
+def _chain_merged() -> bool:
+    """Flag read at trace time (env wins when set — see _first_layer_mmtaps)."""
+    v = _os.environ.get("DRSA_CHAIN_MERGED")
+    return v == "1" if v is not None else CHAIN_MERGED
+
+
 def _conv_rule(x, w, C):
     if _inner_window_conv():
         return conv3x3_window_packed(x, w, C)
@@ -719,6 +740,58 @@ def _first_layer_kernel(R_ref, a1_ref, z0_ref, wl0_ref, mred_ref, *rest,
             out_ref[0, k] = _first_tail_mm(s0, wl0_ref[:], Ci)
         else:
             acc = conv3x3_packed_vpu(s0, wl0_ref[:], Ci)
+            out_ref[0, k] = _mm(acc, mred_ref[:])
+
+
+def _merged_tail_kernel(*refs, metas, C1, K, stab0, mm_taps):
+    """Blocks nb-2 .. 0 of the chain in ONE grid step per instance:
+    [gamma conv -> (2,2) pool backward]* -> first-layer tail (F-trick), with
+    every mid-chain relevance tensor staying in VMEM (see CHAIN_MERGED).
+
+    refs: R (at the top merged conv's OUTPUT level, [1, K, H, G, P*Co]),
+    x_0..x_{m-1} (merged conv inputs, top-down), apre_0..apre_{m-2}
+    (pre-relu pool inputs between merged convs, top-down), a1, z0,
+    then per conv (top-down) wz1, wz3, wT1, wT3, biases, then wl0, mred,
+    out. metas: per merged conv (Ci, Co, gamma, stab), top-down; every
+    level packs at the same P. The coarse walk runs all K clones stacked
+    (arrays are small); the fine-level first-layer tail loops clones so a
+    single fine map is live at a time (same shape as _first_layer_kernel)."""
+    m = len(metas)
+    R_ref = refs[0]
+    x_refs = refs[1:1 + m]
+    apre_refs = refs[1 + m:m + m]
+    a1_ref = refs[m + m]
+    z0_ref = refs[m + m + 1]
+    w_refs = refs[m + m + 2:m + m + 2 + 5 * m]
+    wl0_ref = refs[-3]
+    mred_ref = refs[-2]
+    out_ref = refs[-1]
+
+    # clone-shared prep: rule denominators/masks once per instance
+    preps = [_gamma_prep(x_refs[j][0], w_refs[5 * j][:], w_refs[5 * j + 1][:],
+                         w_refs[5 * j + 4][:], metas[j]["Ci"],
+                         metas[j]["gamma"], metas[j]["stab"])
+             for j in range(m)]
+    masks = [maxpool_fine_mask(jnp.maximum(apre_refs[j][0], 0.0),
+                               metas[j + 1]["Co"], 2)
+             for j in range(m - 1)]
+
+    R = R_ref[0]
+    for j in range(m):
+        R = _gamma_apply(R, x_refs[j][0], *preps[j], w_refs[5 * j + 2][:],
+                         w_refs[5 * j + 3][:], metas[j]["Co"])
+        if j < m - 1:
+            R = pool_backward(R, masks[j], metas[j]["Ci"], 2)
+
+    a1 = a1_ref[0]
+    F = (maxpool2x2_fine_mask(jnp.maximum(a1, 0.0), C1) * relu_gate(a1)
+         / stabilize(z0_ref[:], stab0))
+    for k in range(K):
+        s0 = pool_backward(R[k], F, C1, 2)
+        if mm_taps:
+            out_ref[0, k] = _first_tail_mm(s0, wl0_ref[:], C1)
+        else:
+            acc = conv3x3_packed_vpu(s0, wl0_ref[:], C1)
             out_ref[0, k] = _mm(acc, mred_ref[:])
 
 
@@ -987,9 +1060,20 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
     # R enters at the head block's top conv output level
     R = pack(R_nhwc, blocks[-1]["P"])
 
+    # ---- merged-tail path (CHAIN_MERGED): blocks nb-2 .. 0 fuse into one
+    # kernel so the mid-chain relevances never round-trip HBM; the head
+    # block(s) above keep their own kernels (different packing factor)
+    M = nb - 2
+    merged = (_chain_merged() and nb >= 3
+              and len(blocks[0]["convs"]) == 1
+              and all(len(blocks[i]["convs"]) == 1 for i in range(1, M + 1))
+              and all(blocks[i]["P"] == P0 for i in range(1, M + 1))
+              and all(blocks[i]["pool_above"][2] == 2 for i in range(M))
+              and not _first_layer_recompute())
+
     # ---- walk blocks top-down; each kernel = the block's convs + the pool
     # below it (except block 1, whose below-pool fuses into the first kernel)
-    for i in range(nb - 1, 0, -1):
+    for i in range(nb - 1, M if merged else 0, -1):
         blk = blocks[i]
         P = blk["P"]
         convs_td = list(reversed(blk["convs"]))
@@ -1031,6 +1115,54 @@ def fused_lower_conv_backward(plan, params, acts_nhwc, R_nhwc, K: int):
             compiler_params=_params(),
             interpret=_interpret(),
         )(*in_arrays, *wargs)
+
+    if merged:
+        convs_td = [blocks[bi]["convs"][0] for bi in range(M, 0, -1)]
+        metas, wargs = [], []
+        for ci in convs_td:
+            bi = next(b_ for b_, blk in enumerate(blocks)
+                      if ci in blk["convs"])
+            ws = _prep_inner_weights(params, specs[ci],
+                                     blocks[bi]["rules"][ci], P0)
+            metas.append({"Ci": ws["Ci"], "Co": ws["Co"],
+                          "gamma": ws["gamma"], "stab": ws["stab"]})
+            wargs += [ws["wz1"], ws["wz3"], ws["wT1"], ws["wT3"],
+                      ws["biases"]]
+        # pools BETWEEN merged convs: below conv j sits the pool above
+        # block M-1-j; its mask derives from that block's pre-relu conv out
+        apres = [act_packed(blocks[bi]["pool_above"][0] - 1, P0)
+                 for bi in range(M - 1, 0, -1)]
+        R = pack(unpack(R, metas[0]["Co"]), P0)
+        xs = [act_packed(ci, P0) for ci in convs_td]
+        a1p = pack(a1, P0)
+        HF, GF = a1p.shape[1], a1p.shape[2]
+        C1 = fw["Co0"]
+        mm = _first_layer_mmtaps()
+        wl_arg = fw["mtaps"] if mm else fw["wl0"]
+        kern = functools.partial(_merged_tail_kernel, metas=metas, C1=C1,
+                                 K=K, stab0=fw["stab0"], mm_taps=mm)
+        in_specs = [pl.BlockSpec((1, K) + R.shape[2:],
+                                 lambda n: (n, 0, 0, 0, 0))]
+        in_specs += [pl.BlockSpec((1,) + x.shape[1:], lambda n: (n, 0, 0, 0))
+                     for x in xs]
+        in_specs += [pl.BlockSpec((1,) + ap.shape[1:],
+                                  lambda n: (n, 0, 0, 0)) for ap in apres]
+        in_specs += [pl.BlockSpec((1,) + a1p.shape[1:],
+                                  lambda n: (n, 0, 0, 0)),
+                     _const_spec(fw["z0p"])]
+        in_specs += [_const_spec(w) for w in wargs]
+        in_specs += [_const_spec(wl_arg), _const_spec(fw["mred"])]
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, K, HF, GF, P0),
+                                   lambda n: (n, 0, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, K, HF, GF, P0), jnp.float32),
+            compiler_params=_params(),
+            interpret=_interpret(),
+        )(R, *xs, *apres, a1p, fw["z0p"], *wargs, wl_arg, fw["mred"])
+        return out.reshape(b, K, HF, GF * P0)
 
     # ---- first block
     pi, kh, kw = blocks[0]["pool_above"]

@@ -422,6 +422,43 @@ def test_first_layer_mmtaps_flag_parity(cfg_name, rng, monkeypatch):
     np.testing.assert_allclose(h_mm, h_vpu, rtol=1e-5, atol=atol)
 
 
+@pytest.mark.parametrize("cfg_name", ["gtzan3s", "toy"])
+def test_chain_merged_flag_parity(cfg_name, rng, monkeypatch):
+    """CHAIN_MERGED fuses blocks nb-2..0 into one kernel (mid-chain
+    relevances never leave VMEM) — heatmaps must match the multi-kernel
+    default to reassociation tolerance on both supported families."""
+    from drsa_audio_tpu.models.vgg import (
+        build_layer_specs, init_params, gtzan_3s_config, toy_config)
+    from drsa_audio_tpu.models.projection import insert_projection
+    from drsa_audio_tpu.xai.explain import class_composite, subspace_heatmaps
+    from drsa_audio_tpu.xai.drsa.optimizer import random_orthogonal
+    from drsa_audio_tpu.utils.constants import (
+        LRP_NAME_MAP_GTZAN, LRP_NAME_MAP_TOY)
+
+    if cfg_name == "gtzan3s":
+        specs = build_layer_specs(gtzan_3s_config())
+        d, name_map, hw = 64, LRP_NAME_MAP_GTZAN, (128, 128)
+    else:
+        specs = build_layer_specs(toy_config())
+        d, name_map, hw = 16, LRP_NAME_MAP_TOY, (64, 64)
+    params = init_params(specs, jax.random.PRNGKey(0))
+    U = random_orthogonal(jax.random.PRNGKey(7), d)
+    specs_proj = insert_projection(specs, 10, U, 4)
+    composite = class_composite(name_map, 4)
+    x = jnp.asarray(rng.standard_normal((2, 1) + hw).astype(np.float32))
+
+    monkeypatch.setattr(pc, "CHAIN_MERGED", False)
+    h_multi, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                   class_idx=0, nhwc=True, fused=True)
+    monkeypatch.setattr(pc, "CHAIN_MERGED", True)
+    h_merged, _ = subspace_heatmaps(specs_proj, params, x, composite, 4,
+                                    class_idx=0, nhwc=True, fused=True)
+    h_multi, h_merged = np.asarray(h_multi), np.asarray(h_merged)
+    assert np.isfinite(h_merged).all()
+    atol = 1e-6 * np.abs(h_multi).max()
+    np.testing.assert_allclose(h_merged, h_multi, rtol=1e-5, atol=atol)
+
+
 @pytest.mark.parametrize("cfg_name", ["gtzan3s", "gtzan6s"])
 def test_inner_window_conv_flag_parity(cfg_name, rng, monkeypatch):
     """INNER_WINDOW_CONV swaps the inner-conv contraction for banded window
