@@ -37,12 +37,35 @@ TPU_ITERS = int(os.environ.get("BENCH_TPU_ITERS", "8"))
 CHAIN_N_LO = int(os.environ.get("BENCH_CHAIN_N_LO", "2"))
 CHAIN_N_HI = int(os.environ.get("BENCH_CHAIN_N_HI", "6"))
 CHAIN_REPS = int(os.environ.get("BENCH_CHAIN_REPS", "3"))
+if CHAIN_N_HI <= CHAIN_N_LO:
+    raise SystemExit(
+        f"BENCH_CHAIN_N_HI ({CHAIN_N_HI}) must exceed BENCH_CHAIN_N_LO "
+        f"({CHAIN_N_LO}): the headline is the slope between the two points")
 CPU_BATCH = 4
 CPU_ITERS = 2
+# Pinned CPU denominator (VERDICT round-4 #8): the torch-CPU baseline rate
+# measured once at larger iters (see BASELINE.md "pinned CPU denominator"),
+# so vs_baseline is stable across runs instead of inheriting the ~1-minute
+# single-core measurement's run-to-run variance. BENCH_CPU_RATE overrides;
+# BENCH_CPU_REMEASURE=1 forces a fresh measurement.
+CPU_RATE_PINNED = 3.76  # clips/s: mean of 5 runs (std 0.12, spread 0.35),
+#                          scripts/measure_cpu_baseline.py @ CPU_ITERS=4,
+#                          2026-08-20 (see BASELINE.md "pinned denominator")
+
+# The headline value is PURE DEVICE TIME per clip via the chained-slope
+# methodology (BASELINE.md "methodology correction #2"). Renamed from
+# explained_clips_per_sec_e2e at the round-4->5 boundary (ADVICE r4):
+# records through BENCH_r04 carry the old name, whose values came from the
+# host-observed loop methodology — that figure is still reported in extras
+# as loop_method_ms_per_iter / loop_clips_per_sec, and vs_baseline is
+# derived from it (host wall clock over host wall clock) when available.
+METRIC_NAME = "explained_clips_per_sec_device"
 
 
 def build_model():
     import jax
+    from drsa_audio_tpu.utils import compcache
+    compcache.enable()  # reload prior compiles from disk (VERDICT r4 #2)
     from drsa_audio_tpu.models.vgg import build_layer_specs, init_params, gtzan_3s_config
     cfg = gtzan_3s_config()
     specs = build_layer_specs(cfg)
@@ -215,10 +238,13 @@ def tpu_clips_per_sec(specs, params, publish=None):
     t_hi = timed_chain(CHAIN_N_HI)
     # slope cancels every fixed per-dispatch cost (upload, RPC, ack, D2H)
     slope = (t_hi - t_lo) / (CHAIN_N_HI - CHAIN_N_LO)
+    timing_method = "chained-slope"
     if slope <= 0:
         # degenerate on tiny/noisy workloads (CPU smoke test): fall back
-        # to total/n, which only OVERSTATES the per-iter time
+        # to total/n, which only OVERSTATES the per-iter time — and says so
+        # in timing_method rather than masquerading as a slope (ADVICE r4)
         slope = t_hi / CHAIN_N_HI
+        timing_method = "chain-total-fallback"
     dt = slope * TPU_ITERS
     clips_per_sec = batch * TPU_ITERS / dt
 
@@ -232,7 +258,7 @@ def tpu_clips_per_sec(specs, params, publish=None):
         "hbm_floor_ms": round(model_bytes / V5E_PEAK_HBM_BW * 1e3, 2),
         "hbm_bw_util": round(model_bytes / step_s / V5E_PEAK_HBM_BW
                              / max(n_dev, 1), 4),
-        "timing_method": "chained-slope",
+        "timing_method": timing_method,
         "chain_t_ms": {str(CHAIN_N_LO): round(t_lo * 1e3, 1),
                        str(CHAIN_N_HI): round(t_hi * 1e3, 1)},
     }
@@ -287,6 +313,10 @@ def tpu_clips_per_sec(specs, params, publish=None):
         extras["loop_method_ms_per_iter"] = round(loop_ms, 2)
         extras["dispatch_overhead_ms"] = round(
             loop_ms - dt / TPU_ITERS * 1e3, 2)
+        # host-observed e2e rate (incl. per-dispatch cost): the
+        # apples-to-apples numerator for vs_baseline, whose denominator is
+        # also a host-observed wall clock (ADVICE r4)
+        extras["loop_clips_per_sec"] = round(batch / (loop_ms / 1e3), 2)
     except Exception as e:
         extras["loop_check_error"] = str(e)[:120]
 
@@ -327,6 +357,9 @@ def cpu_reference_clips_per_sec(specs, params):
     override = os.environ.get("BENCH_CPU_RATE")
     if override:
         return float(override)
+    if (CPU_RATE_PINNED is not None
+            and os.environ.get("BENCH_CPU_REMEASURE") != "1"):
+        return float(CPU_RATE_PINNED)
     import torch
     import torch.nn.functional as F
     import lrp_torch_oracle as oracle
@@ -575,7 +608,7 @@ def _emit_and_exit(reason):
             rec = dict(rec)
             rec["extras_truncated"] = reason[:200]
         if rec is None:
-            rec = {"metric": "explained_clips_per_sec_e2e", "value": None,
+            rec = {"metric": METRIC_NAME, "value": None,
                    "unit": "clips/s", "vs_baseline": None,
                    "error": reason[:300]}
         _EMIT["done"] = True
@@ -690,10 +723,11 @@ def main():
         # fresh headline, staged + persisted BEFORE the MFU/stage extras
         # compile anything: a stall there can no longer lose the number
         rec = {
-            "metric": "explained_clips_per_sec_e2e",
+            "metric": METRIC_NAME,
             "value": round(tpu_rate, 2),
             "unit": "clips/s",
             "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            "vs_baseline_method": "device-slope/cpu-wall",
             "tpu_batch": TPU_BATCH,
         }
         rec.update(extras_bw)
@@ -714,13 +748,22 @@ def main():
         _finish(rec)
         return
     record = {
-        "metric": "explained_clips_per_sec_e2e",
+        "metric": METRIC_NAME,
         "value": round(tpu_rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "vs_baseline_method": "device-slope/cpu-wall",
         "tpu_batch": TPU_BATCH,
     }
     record.update(extras)
+    # apples-to-apples ratio when the loop cross-check ran: host-observed
+    # e2e numerator over the host-observed CPU wall-clock denominator
+    # (ADVICE r4 — the device-time slope excludes per-dispatch costs the
+    # CPU wall clock includes)
+    loop_rate = extras.get("loop_clips_per_sec")
+    if loop_rate:
+        record["vs_baseline"] = round(loop_rate / cpu_rate, 2)
+        record["vs_baseline_method"] = "loop-e2e/cpu-wall"
     if persist_ok:
         save_last_bench(record)
     _finish(record)

@@ -1,11 +1,26 @@
-"""Is block_until_ready a true sync on the axon tunnel right now?
+"""What does each sync strategy actually measure on the axon tunnel?
 
-Times the batch-256 logmel frontend with two sync strategies on fresh
-input content each call:
-  (a) jax.block_until_ready(out)
-  (b) np.asarray(out)  -- a D2H copy cannot complete before the compute
-If (a) << (b) - transfer_time, block_until_ready is an ack, not a sync,
-and every timing in this repo that relies on it needs re-reading.
+v2 (round 5): the v1 probe's D2H control was INVALID — it re-pulled a
+buffer whose host copy jax had already cached (`_npy_value`), reading
+0.005 ms, and concluded from `block=24 ms vs asarray=394 ms` that
+block_until_ready "acks rather than syncs". ADVICE r4 pointed out the
+394 ms is plausibly plain D2H of the 16.8 MB result over a slow tunnel
+link with block being a true sync. This version prices D2H correctly:
+
+  1. d2h_fresh: np.asarray on a NEVER-PULLED buffer (a new output object
+     each rep) whose compute has provably drained — we block, then sleep
+     DRAIN_SLEEP_S (>> any plausible compute) before timing the pull.
+     Measured at two sizes -> bytes/s of the D2H link.
+  2. asarray_immediate: np.asarray right after dispatch (compute + D2H).
+  3. block_fresh: jax.block_until_ready right after dispatch.
+
+Interpretation:
+  compute_upper_bound = asarray_immediate - d2h_fresh(same size)
+  If block_fresh >= compute_upper_bound (within the RPC floor), block is
+  consistent with a TRUE SYNC and v1's "ack" conclusion was an artifact
+  of the invalid control. Either way the chained-slope headline stands:
+  it cancels ALL fixed per-dispatch costs (upload, RPC, ack-or-sync
+  latency, D2H) regardless of which semantics block has.
 """
 import json
 import sys
@@ -14,6 +29,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+DRAIN_SLEEP_S = 3.0
+REPS = 5
+
+
+def _median_ms(ts):
+    return round(float(np.median(ts)) * 1e3, 3)
 
 
 def main():
@@ -29,35 +51,63 @@ def main():
     fe_full = jax.jit(lambda w: logmel(peak_normalize(w), fe)[:, None])
     out = jax.block_until_ready(fe_full(wavs))  # compile
     out_np = np.asarray(out)
-    print(f"out shape {out_np.shape}, {out_np.nbytes/1e6:.1f} MB", file=sys.stderr)
+    nbytes_mel = out_np.nbytes
+    print(f"out shape {out_np.shape}, {nbytes_mel/1e6:.1f} MB",
+          file=sys.stderr)
 
-    report = {}
-    # pure D2H cost of the output buffer (already computed)
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        np.asarray(out)
-        ts.append(time.perf_counter() - t0)
-    report["d2h_only_ms"] = round(float(np.median(ts)) * 1e3, 3)
+    # a trivial big producer for the second D2H size point (64 MB)
+    big = jnp.asarray(rng.standard_normal((256, 65536)).astype(np.float32))
+    scale_big = jax.jit(lambda w: w * 1.000001)
+    jax.block_until_ready(scale_big(big))
+    nbytes_big = big.size * 4
 
-    v = wavs
-    for name, sync in (("block_until_ready", jax.block_until_ready),
-                       ("np_asarray", np.asarray)):
+    report = {"drain_sleep_s": DRAIN_SLEEP_S}
+
+    # 1. pure D2H on never-pulled fresh output objects, compute drained
+    def d2h_fresh(producer, operand, label, nbytes):
         ts = []
-        for _ in range(8):
-            v = jax.block_until_ready(v * (1.0 + 1e-6))
+        v = operand
+        for _ in range(REPS):
+            v = jax.block_until_ready(v * (1.0 + 1e-6))  # fresh content
+            o = producer(v)                               # NEW output object
+            jax.block_until_ready(o)
+            time.sleep(DRAIN_SLEEP_S)  # compute has drained by now even if
+            #                            block only acked the dispatch
             t0 = time.perf_counter()
-            sync(fe_full(v))
+            np.asarray(o)
             ts.append(time.perf_counter() - t0)
-        report[f"logmel_{name}_ms"] = round(float(np.median(ts)) * 1e3, 3)
+        ms = _median_ms(ts)
+        report[f"d2h_fresh_{label}_ms"] = ms
+        report[f"d2h_fresh_{label}_mb_per_s"] = round(
+            nbytes / (ms / 1e3) / 1e6, 1)
+        return ms
 
-    # same-buffer repeat loop (what bench.py's stage loop does)
+    d2h_mel = d2h_fresh(fe_full, wavs, "mel17mb", nbytes_mel)
+    d2h_fresh(scale_big, big, "big64mb", nbytes_big)
+
+    # 2. asarray immediately after dispatch (compute + D2H together)
+    v = wavs
     ts = []
-    for _ in range(8):
+    for _ in range(REPS):
+        v = jax.block_until_ready(v * (1.0 + 1e-6))
         t0 = time.perf_counter()
-        jax.block_until_ready(fe_full(wavs))
+        np.asarray(fe_full(v))
         ts.append(time.perf_counter() - t0)
-    report["logmel_samebuf_bur_ms"] = round(float(np.median(ts)) * 1e3, 3)
+    report["asarray_immediate_ms"] = _median_ms(ts)
+
+    # 3. block_until_ready immediately after dispatch
+    ts = []
+    for _ in range(REPS):
+        v = jax.block_until_ready(v * (1.0 + 1e-6))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fe_full(v))
+        ts.append(time.perf_counter() - t0)
+    report["block_fresh_ms"] = _median_ms(ts)
+
+    compute_ub = report["asarray_immediate_ms"] - d2h_mel
+    report["compute_upper_bound_ms"] = round(compute_ub, 3)
+    report["block_consistent_with_true_sync"] = bool(
+        report["block_fresh_ms"] >= compute_ub - 5.0)  # 5 ms grace (RPC jitter)
 
     print(json.dumps(report, indent=2))
 

@@ -38,7 +38,14 @@ BATCH = 256
 
 
 def chained_ms(jax, jnp, fn, x, floor_ms, null_ms=0.0):
-    """ms/iter for fn chained ITERS_CHAIN times inside one jitted program."""
+    """ms/iter for fn chained ITERS_CHAIN times inside one jitted program.
+
+    The program returns only a float32 checksum, pulled with np.asarray —
+    a D2H copy of 4 bytes cannot complete before the compute that produces
+    it and costs ~nothing, so the timing is valid regardless of whether
+    block_until_ready syncs or merely acks on the tunnel (ADVICE r4; the
+    round-5 re-probe of _probe_sync_semantics settles which — see
+    BASELINE.md — but this script no longer depends on the answer)."""
 
     @jax.jit
     def prog(w):
@@ -49,15 +56,16 @@ def chained_ms(jax, jnp, fn, x, floor_ms, null_ms=0.0):
             # two iterations are identical dispatches
             return carry * (1.0 + 1e-12 * jnp.mean(out))
 
-        return jax.lax.fori_loop(0, ITERS_CHAIN, body, w)
+        v = jax.lax.fori_loop(0, ITERS_CHAIN, body, w)
+        return jnp.float32(jnp.sum(v) / v.size)
 
-    jax.block_until_ready(prog(x))  # compile + warm
+    np.asarray(prog(x))  # compile + warm + drain
     times = []
     v = x
     for _ in range(5):
         v = jax.block_until_ready(v * (1.0 + 1e-6))
         t0 = time.perf_counter()
-        jax.block_until_ready(prog(v))
+        np.asarray(prog(v))
         times.append(time.perf_counter() - t0)
     total = float(np.median(times)) * 1e3 - floor_ms
     return total / ITERS_CHAIN - null_ms

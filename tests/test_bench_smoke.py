@@ -128,6 +128,12 @@ def test_bench_functions_tiny():
     bench.TPU_ITERS = 1
     bench.CPU_BATCH = 1
     bench.CPU_ITERS = 1
+    # smoke-sized chain points (ADVICE r4: the defaults run ~25 explain
+    # iterations on this 1-core host) — the slope math is identical
+    bench.CHAIN_N_LO = 1
+    bench.CHAIN_N_HI = 2
+    bench.CHAIN_REPS = 1
+    bench.CPU_RATE_PINNED = None  # exercise the real torch-CPU path
 
     cfg, specs, params = bench.build_model()
     cpu_rate = bench.cpu_reference_clips_per_sec(specs, params)
@@ -138,7 +144,7 @@ def test_bench_functions_tiny():
     assert "mfu" in extras or "mfu_error" in extras
 
     line = json.dumps({
-        "metric": "explained_clips_per_sec_e2e",
+        "metric": bench.METRIC_NAME,
         "value": round(tpu_rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
