@@ -11,6 +11,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import os
+import time
 
 import numpy as np
 
@@ -85,15 +86,21 @@ def main():
             batch, _ = get_songs_toy(args.data, cls)
         for layer_idx in layers:
             key, sub = jax.random.split(key)
+            t_pair = time.perf_counter()
             act, ctx = preprocess_data(
                 specs, params, jnp.asarray(batch), composite, layer_idx,
                 class_idx, num_locations=args.num_locations, key=sub,
                 extract_fn=extract_fns[layer_idx])
+            act = np.asarray(act)  # D2H pull = sync (tunnel ack semantics)
+            dt = time.perf_counter() - t_pair
             out_dir = os.path.join(args.out, cls)
             os.makedirs(out_dir, exist_ok=True)
             np.savez(os.path.join(out_dir, f"dataset_layer{layer_idx}.npz"),
-                     activations=np.asarray(act), contexts=np.asarray(ctx))
-            print(f"{cls} layer {layer_idx}: {np.asarray(act).shape}")
+                     activations=act, contexts=np.asarray(ctx))
+            # per-pair wall: the first pair per layer includes the compile;
+            # steady state = the later pairs (VERDICT r4 #7)
+            print(f"{cls} layer {layer_idx}: {act.shape} "
+                  f"[{dt:.1f}s, {len(batch) / dt:.1f} clips/s]")
 
 
 if __name__ == "__main__":
