@@ -525,7 +525,9 @@ LAST_BENCH_PATH = os.environ.get("BENCH_LAST_PATH",
 # signal handler can't interrupt a blocked C call, so the deadline lives in a
 # daemon WATCHDOG THREAD that prints the best record available and exits the
 # whole process with rc=0 before the driver's kill timer fires.
-_T_START = time.monotonic()
+_T_START = None  # set by main(); deadline-free until a run starts (library
+#                  callers — tests, sweeps importing bench functions — must
+#                  not inherit a clock that started ticking at import)
 _DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "720"))
 _EMIT = {"record": None, "done": False}
 _EMIT_LOCK = threading.Lock()
@@ -589,7 +591,7 @@ def _early_device_probe():
 
 
 def _remaining():
-    if _DEADLINE_S <= 0:
+    if _DEADLINE_S <= 0 or _T_START is None:
         return float("inf")
     return _DEADLINE_S - (time.monotonic() - _T_START)
 
@@ -597,10 +599,14 @@ def _remaining():
 def _emit_and_exit(reason):
     """Print the freshest record we have (or the stale fallback) and exit 0.
 
-    Called by the watchdog on deadline; never returns."""
+    Called by the watchdog on deadline. Returns harmlessly when the run
+    already finished (the persistent watchdog thread outlives main() under
+    pytest, where exiting would kill the test runner — the suite died
+    exactly this way once: os._exit(0) fired 720 s after an in-process
+    bench.main() test, mid-suite, rc=0 at 28%)."""
     with _EMIT_LOCK:
         if _EMIT["done"]:
-            os._exit(0)
+            return
         rec = _EMIT["record"]
         if rec is None:
             rec = load_last_bench(reason)
@@ -621,13 +627,17 @@ def _arm_watchdog():
         return
     def fire():
         while True:
+            with _EMIT_LOCK:
+                active = not _EMIT["done"]
             rem = _remaining()
-            if rem <= 0:
+            if active and rem <= 0:
                 _emit_and_exit(
                     f"in-process deadline BENCH_DEADLINE_S={_DEADLINE_S:.0f}s "
                     "hit (tunnel stall or cold remote-compile); emitting the "
                     "freshest available record")
-            time.sleep(min(rem, 5.0))
+                # only reachable when the run finished concurrently: idle
+                # until the next main() resets the clock
+            time.sleep(5.0 if not active else min(max(rem, 0.1), 5.0))
     threading.Thread(target=fire, daemon=True, name="bench-watchdog").start()
 
 
@@ -676,11 +686,15 @@ _WATCHDOG_ARMED = False
 
 
 def main():
-    global _WATCHDOG_ARMED
+    global _WATCHDOG_ARMED, _T_START
     with _EMIT_LOCK:
-        # re-entrant for tests: each run stages/prints its own record
+        # re-entrant for tests: each run stages/prints its own record, and
+        # the deadline clock restarts (under `python bench.py` this is
+        # indistinguishable from the import-time start; under pytest it
+        # keeps one test's elapsed time from detonating a later main())
         _EMIT["record"] = None
         _EMIT["done"] = False
+        _T_START = time.monotonic()
     if not _WATCHDOG_ARMED:
         _arm_watchdog()
         _WATCHDOG_ARMED = True

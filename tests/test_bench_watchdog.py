@@ -147,3 +147,32 @@ def test_early_probe_stall_reexecs_once_for_fresh_connection(tmp_path):
     assert "EXEC 1" in r.stdout
     deadline = int(r.stdout.split()[-1])
     assert 0 < deadline <= 300
+
+
+def test_watchdog_survives_completed_run_in_process(monkeypatch, capsys):
+    """Regression: the watchdog thread outlives main() under pytest. Once a
+    run has FINISHED, a deadline passing must NOT os._exit the process —
+    the full suite once died rc=0 mid-run exactly this way (an in-process
+    bench.main() test armed the watchdog; 720 s later, pytest vanished at
+    28% with no summary)."""
+    import time as _time
+    sys.path.insert(0, ROOT)
+    import bench
+
+    monkeypatch.setattr(bench, "_DEADLINE_S", 1.0)
+    monkeypatch.setattr(bench, "_WATCHDOG_ARMED", False)
+    monkeypatch.setattr(bench, "wait_for_tpu", lambda: True)
+    monkeypatch.setattr(bench, "_early_device_probe", lambda: True)
+    monkeypatch.setattr(bench, "build_model", lambda: (None, None, None))
+    monkeypatch.setattr(bench, "cpu_reference_clips_per_sec", lambda *a: 10.0)
+    monkeypatch.setattr(bench, "tpu_clips_per_sec",
+                        lambda *a, **k: (500.0, {}))
+    monkeypatch.setenv("BENCH_PERSIST", "0")
+    bench.main()
+    assert json.loads(capsys.readouterr().out)["value"] == 500.0
+    # ride past the deadline with the run complete: the process must live
+    _time.sleep(2.5)
+    assert True  # reaching here IS the assertion (no os._exit fired)
+    # and library callers that never ran main() see no clock at all
+    monkeypatch.setattr(bench, "_T_START", None)
+    assert bench._remaining() == float("inf")
