@@ -8,8 +8,12 @@ The flag is read at TRACE time, so both variants trace in one process by
 flipping the env var between jit definitions. Also cross-checks heatmap
 parity of the two variants on the same inputs.
 
-Usage: python scripts/bench_merged_chain.py [batch]
+Usage: python scripts/bench_merged_chain.py [batch] [--variants multi,merged]
+Results print INCREMENTALLY per variant (a compile-service failure on the
+second variant — observed: tpu_compile_helper SIGKILL'd, HTTP 500 — must
+not lose the first variant's numbers).
 """
+import argparse
 import json
 import os
 import sys
@@ -19,10 +23,17 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("batch", type=int, nargs="?", default=256)
+_ap.add_argument("--variants", default="multi,merged")
+_ap.add_argument("--parity-batch", type=int, default=8,
+                 help="0 disables the heatmap parity cross-check")
+_args = _ap.parse_args()
+
 N_LO = 2
 N_HI = 6
 REPS = 3
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+BATCH = _args.batch
 
 
 def main():
@@ -82,9 +93,10 @@ def main():
         return float(np.median(ts))
 
     heats = {}
+    variants = [v.strip() for v in _args.variants.split(",") if v.strip()]
     try:
-        for label, merged in (("multi", False), ("merged", True)):
-            explain_j, chained = make_chained(merged)
+        for label in variants:
+            explain_j, chained = make_chained(label == "merged")
             print(f"[{label}] compiling...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             np.asarray(chained(wavs, 1))
@@ -96,15 +108,21 @@ def main():
                                        str(N_HI): round(t_hi * 1e3, 1)}
             report[f"{label}_ms_per_iter"] = round(slope * 1e3, 2)
             report[f"{label}_clips_per_sec"] = round(BATCH / slope, 1)
-            heats[label] = np.asarray(explain_j(wavs[:8]))
+            # incremental: a later variant's compile failure must not lose this
+            print(json.dumps({k: v for k, v in report.items()
+                              if k.startswith(label)}), flush=True)
+            if _args.parity_batch:
+                heats[label] = np.asarray(explain_j(wavs[:_args.parity_batch]))
     finally:
         os.environ.pop("DRSA_CHAIN_MERGED", None)
 
-    a, b_ = heats["multi"].ravel(), heats["merged"].ravel()
-    report["parity_corr"] = round(float(np.corrcoef(a, b_)[0, 1]), 8)
-    report["parity_max_abs_diff"] = float(np.abs(a - b_).max())
-    report["speedup"] = round(report["multi_ms_per_iter"]
-                              / report["merged_ms_per_iter"], 3)
+    if len(heats) == 2:
+        a, b_ = heats["multi"].ravel(), heats["merged"].ravel()
+        report["parity_corr"] = round(float(np.corrcoef(a, b_)[0, 1]), 8)
+        report["parity_max_abs_diff"] = float(np.abs(a - b_).max())
+    if "multi_ms_per_iter" in report and "merged_ms_per_iter" in report:
+        report["speedup"] = round(report["multi_ms_per_iter"]
+                                  / report["merged_ms_per_iter"], 3)
     print(json.dumps(report, indent=2))
 
 
