@@ -165,10 +165,12 @@ def tpu_clips_per_sec(specs, params, publish=None):
     # the SLOPE between two trip counts with an np.asarray pull measures
     # pure device time, immune to every tunnel artifact we have caught so
     # far: the ~29 ms RPC floor (round 2), dispatch dedup (round 3), and
-    # block_until_ready acking before compute drains (round 4 —
-    # scripts/_probe_sync_semantics.py measured block=24 ms vs asarray=
-    # 394 ms on the same fresh result; scripts/probe_true_iter_time.py has
-    # the full derivation: slope 41.2 ms vs 45.7 ms for the loop method).
+    # whatever block_until_ready's semantics are on the tunnel (the round-4
+    # probe's "ack not sync" conclusion rested on an invalid D2H control —
+    # see scripts/_probe_sync_semantics.py v2 + BASELINE.md; the slope
+    # cancels ack latency AND D2H either way, which is the point.
+    # scripts/probe_true_iter_time.py has the full derivation: slope
+    # 41.2 ms vs 45.7 ms for the loop method).
     @jax.jit
     def chained_explain(wavs, n):
         def cond(state):
