@@ -481,13 +481,14 @@ def wait_for_tpu():
     The axon tunnel occasionally drops for stretches; a bench run launched
     into an outage would otherwise die on the first device op. Probe in a
     SUBPROCESS (a failed backend init poisons the importing process's jax
-    cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 240; 0
-    disables) — the budget is also clamped so the probe can never eat the
+    cache) and retry for up to BENCH_TPU_WAIT_S seconds (default 420 —
+    round-5 observed outages with sub-minute recoveries, and a late probe
+    success still beats the guaranteed stale fallback; 0 disables) — the budget is also clamped so the probe can never eat the
     whole in-process deadline (round-3's 1800 s default could exceed the
     driver's kill timer). Returns True when the probe succeeded, False when
     the budget ran out with the backend still unreachable."""
     import subprocess
-    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "240"))
+    budget = float(os.environ.get("BENCH_TPU_WAIT_S", "420"))
     budget = min(budget, max(_remaining() - 60, 0))
     if budget <= 0:
         return True
