@@ -267,6 +267,15 @@ def tpu_clips_per_sec(specs, params, publish=None):
     if publish is not None:
         publish(clips_per_sec, extras_bw)
 
+    if os.environ.get("BENCH_SKIP_EXTRAS") == "1":
+        # sweep/experiment mode: the headline + roofline are enough; the
+        # MFU variant, loop cross-check, and stage programs are 5 more
+        # cold remote-compiles per run (minutes each, no cross-process
+        # compile cache on this platform — BASELINE.md round-5)
+        extras = dict(extras_bw)
+        extras["extras_skipped"] = "BENCH_SKIP_EXTRAS=1"
+        return clips_per_sec, extras
+
     # ---- MFU: analyzed FLOPs vs per-chip peak. The production path runs
     # the lower backward in Pallas custom calls whose FLOPs XLA's
     # cost_analysis cannot see, so the FLOP count comes from lowering the

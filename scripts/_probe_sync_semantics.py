@@ -21,8 +21,20 @@ Interpretation:
   of the invalid control. Either way the chained-slope headline stands:
   it cancels ALL fixed per-dispatch costs (upload, RPC, ack-or-sync
   latency, D2H) regardless of which semantics block has.
+
+v3 (the decisive leg — run 2026-08-21): legs 1-3 cannot separate ack
+from sync when the compute is ~2.5 ms and the RPC floor is ~27 ms (both
+semantics read ~floor), and `compute_upper_bound` from leg 2 is
+contaminated by whatever slows an immediately-issued D2H beyond a
+drained one. So: chain LONG_CHAIN_N dependent frontend iterations in one
+program (~100 x 2.5 ms = ~250 ms of device compute) returning only a
+f32 CHECKSUM (D2H ~= 0). Then
+  block_long   ~= floor            -> block is an ACK
+  block_long   ~= asarray_long     -> block is a TRUE SYNC
+(asarray_long = compute + floor, since the 4-byte pull is free).
 """
 import json
+import os
 import sys
 import time
 
@@ -32,6 +44,10 @@ sys.path.insert(0, "/root/repo")
 
 DRAIN_SLEEP_S = 3.0
 REPS = 5
+LONG_CHAIN_N = 100  # ~100 x 2.5 ms >> the ~27 ms RPC floor
+# PROBE_V3_ONLY=1 skips the v1/v2 legs (each pays a remote compile +
+# ~45 s of drain sleeps) and runs just the decisive long-chain leg
+V3_ONLY = os.environ.get("PROBE_V3_ONLY") == "1"
 
 
 def _median_ms(ts):
@@ -48,20 +64,21 @@ def main():
     wavs = jnp.asarray(rng.standard_normal(
         (256, fe.sample_rate * fe.slice_length)).astype(np.float32))
 
-    fe_full = jax.jit(lambda w: logmel(peak_normalize(w), fe)[:, None])
-    out = jax.block_until_ready(fe_full(wavs))  # compile
-    out_np = np.asarray(out)
-    nbytes_mel = out_np.nbytes
-    print(f"out shape {out_np.shape}, {nbytes_mel/1e6:.1f} MB",
-          file=sys.stderr)
+    report = {"drain_sleep_s": DRAIN_SLEEP_S, "v3_only": V3_ONLY}
 
-    # a trivial big producer for the second D2H size point (64 MB)
-    big = jnp.asarray(rng.standard_normal((256, 65536)).astype(np.float32))
-    scale_big = jax.jit(lambda w: w * 1.000001)
-    jax.block_until_ready(scale_big(big))
-    nbytes_big = big.size * 4
+    if not V3_ONLY:
+        fe_full = jax.jit(lambda w: logmel(peak_normalize(w), fe)[:, None])
+        out = jax.block_until_ready(fe_full(wavs))  # compile
+        out_np = np.asarray(out)
+        nbytes_mel = out_np.nbytes
+        print(f"out shape {out_np.shape}, {nbytes_mel/1e6:.1f} MB",
+              file=sys.stderr)
 
-    report = {"drain_sleep_s": DRAIN_SLEEP_S}
+        # a trivial big producer for the second D2H size point (64 MB)
+        big = jnp.asarray(rng.standard_normal((256, 65536)).astype(np.float32))
+        scale_big = jax.jit(lambda w: w * 1.000001)
+        jax.block_until_ready(scale_big(big))
+        nbytes_big = big.size * 4
 
     # 1. pure D2H on never-pulled fresh output objects, compute drained
     def d2h_fresh(producer, operand, label, nbytes):
@@ -82,32 +99,63 @@ def main():
             nbytes / (ms / 1e3) / 1e6, 1)
         return ms
 
-    d2h_mel = d2h_fresh(fe_full, wavs, "mel17mb", nbytes_mel)
-    d2h_fresh(scale_big, big, "big64mb", nbytes_big)
+    if not V3_ONLY:
+        d2h_mel = d2h_fresh(fe_full, wavs, "mel17mb", nbytes_mel)
+        d2h_fresh(scale_big, big, "big64mb", nbytes_big)
 
-    # 2. asarray immediately after dispatch (compute + D2H together)
+        # 2. asarray immediately after dispatch (compute + D2H together)
+        v = wavs
+        ts = []
+        for _ in range(REPS):
+            v = jax.block_until_ready(v * (1.0 + 1e-6))
+            t0 = time.perf_counter()
+            np.asarray(fe_full(v))
+            ts.append(time.perf_counter() - t0)
+        report["asarray_immediate_ms"] = _median_ms(ts)
+
+        # 3. block_until_ready immediately after dispatch
+        ts = []
+        for _ in range(REPS):
+            v = jax.block_until_ready(v * (1.0 + 1e-6))
+            t0 = time.perf_counter()
+            jax.block_until_ready(fe_full(v))
+            ts.append(time.perf_counter() - t0)
+        report["block_fresh_ms"] = _median_ms(ts)
+
+        compute_ub = report["asarray_immediate_ms"] - d2h_mel
+        report["compute_upper_bound_ms"] = round(compute_ub, 3)
+        report["block_consistent_with_true_sync"] = bool(
+            report["block_fresh_ms"] >= compute_ub - 5.0)  # 5 ms grace
+
+    # 4. v3 decisive leg: long dependent-compute chain, scalar output
+    @jax.jit
+    def long_chain(w):
+        def body(_, carry):
+            out = logmel(peak_normalize(carry), fe)
+            return carry * (1.0 + 1e-12 * jnp.mean(out))
+
+        v2 = jax.lax.fori_loop(0, LONG_CHAIN_N, body, w)
+        return jnp.float32(jnp.sum(v2) / v2.size)
+
+    np.asarray(long_chain(wavs))  # compile + warm + drain
+    ts_b, ts_a = [], []
     v = wavs
-    ts = []
     for _ in range(REPS):
         v = jax.block_until_ready(v * (1.0 + 1e-6))
         t0 = time.perf_counter()
-        np.asarray(fe_full(v))
-        ts.append(time.perf_counter() - t0)
-    report["asarray_immediate_ms"] = _median_ms(ts)
-
-    # 3. block_until_ready immediately after dispatch
-    ts = []
+        jax.block_until_ready(long_chain(v))
+        ts_b.append(time.perf_counter() - t0)
     for _ in range(REPS):
         v = jax.block_until_ready(v * (1.0 + 1e-6))
         t0 = time.perf_counter()
-        jax.block_until_ready(fe_full(v))
-        ts.append(time.perf_counter() - t0)
-    report["block_fresh_ms"] = _median_ms(ts)
-
-    compute_ub = report["asarray_immediate_ms"] - d2h_mel
-    report["compute_upper_bound_ms"] = round(compute_ub, 3)
-    report["block_consistent_with_true_sync"] = bool(
-        report["block_fresh_ms"] >= compute_ub - 5.0)  # 5 ms grace (RPC jitter)
+        np.asarray(long_chain(v))
+        ts_a.append(time.perf_counter() - t0)
+    report["long_chain_n"] = LONG_CHAIN_N
+    report["block_long_ms"] = _median_ms(ts_b)
+    report["asarray_long_ms"] = _median_ms(ts_a)
+    # ack iff block covers < half the scalar-pull (compute+floor) time
+    report["block_is_ack"] = bool(
+        report["block_long_ms"] < 0.5 * report["asarray_long_ms"])
 
     print(json.dumps(report, indent=2))
 

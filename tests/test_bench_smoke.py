@@ -142,6 +142,10 @@ def test_bench_functions_tiny():
     assert tpu_rate > 0
     assert isinstance(extras, dict)
     assert "mfu" in extras or "mfu_error" in extras
+    # every fresh record must carry its methodology (VERDICT r4 #1: the
+    # judge distinguishes chained-slope records from stale/loop ones by it)
+    assert extras.get("timing_method") in ("chained-slope",
+                                           "chain-total-fallback")
 
     line = json.dumps({
         "metric": bench.METRIC_NAME,
