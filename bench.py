@@ -165,12 +165,12 @@ def tpu_clips_per_sec(specs, params, publish=None):
     # the SLOPE between two trip counts with an np.asarray pull measures
     # pure device time, immune to every tunnel artifact we have caught so
     # far: the ~29 ms RPC floor (round 2), dispatch dedup (round 3), and
-    # whatever block_until_ready's semantics are on the tunnel (the round-4
-    # probe's "ack not sync" conclusion rested on an invalid D2H control —
-    # see scripts/_probe_sync_semantics.py v2 + BASELINE.md; the slope
-    # cancels ack latency AND D2H either way, which is the point.
+    # the tunnel's slow D2H link (~41 MB/s — the round-5 v3 probe resolved
+    # the round-4 "ack not sync" scare: block IS a true sync, and the big
+    # asarray numbers were D2H; see BASELINE.md "sync semantics resolved").
+    # The slope's real win is cancelling the ~4.5 ms/dispatch overhead.
     # scripts/probe_true_iter_time.py has the full derivation: slope
-    # 41.2 ms vs 45.7 ms for the loop method).
+    # 41.2 ms vs 45.7 ms for the loop method.
     @jax.jit
     def chained_explain(wavs, n):
         def cond(state):

@@ -10,7 +10,9 @@ Two tunnel artifacts break naive timing loops (BASELINE.md
 
 `measure_rpc_floor` times a null program; `time_with_fresh_input` blocks
 per call, re-materializes the varying input with fresh content before every
-timed call, and subtracts the floor. Good for staged programs >~30 ms where
+timed call, and subtracts the floor. (Block-based syncing here is valid:
+the round-5 probe established block_until_ready is a TRUE SYNC on the
+tunnel — BASELINE.md "sync semantics resolved".) Good for staged programs >~30 ms where
 floor jitter (~±2 ms) is small; for sub-10 ms kernels chain dependent
 iterations inside one jitted fori_loop instead (scripts/bench_first_layer.py).
 """

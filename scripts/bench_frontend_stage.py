@@ -44,8 +44,8 @@ def chained_ms(jax, jnp, fn, x, floor_ms, null_ms=0.0):
     a D2H copy of 4 bytes cannot complete before the compute that produces
     it and costs ~nothing, so the timing is valid regardless of whether
     block_until_ready syncs or merely acks on the tunnel (ADVICE r4; the
-    round-5 re-probe of _probe_sync_semantics settles which — see
-    BASELINE.md — but this script no longer depends on the answer)."""
+    round-5 v3 probe SETTLED it — block is a true sync, BASELINE.md "sync
+    semantics resolved" — so the block-synced legs below are valid too)."""
 
     @jax.jit
     def prog(w):
